@@ -1,0 +1,49 @@
+"""CLI: ``python -m meso_tpu deck.toml`` — the ``lmp -in deck`` analog
+(SURVEY.md §2d launch row)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="meso_tpu", description="TPU-native DPD engine")
+    ap.add_argument("deck", help="TOML input deck")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="override run.steps")
+    ap.add_argument("--log", default=None, help="JSONL thermo log path")
+    args = ap.parse_args(argv)
+
+    from meso_tpu.core.system import run_adaptive
+    from meso_tpu.io.deck import build_from_deck, load_deck
+    from meso_tpu.io.dump import write_lammpstrj
+    from meso_tpu.io.restart import save_restart
+    from meso_tpu.io.thermo import ThermoLogger
+
+    system, params, state, run_cfg = build_from_deck(load_deck(args.deck))
+    steps = args.steps if args.steps is not None else run_cfg.steps
+    logger = ThermoLogger(every=run_cfg.thermo_every, jsonl_path=args.log)
+
+    logger.log(system, params, state)
+    done = 0
+    while done < steps:
+        n = min(run_cfg.thermo_every, steps - done)
+        state, diag = run_adaptive(system, params, state, n)
+        done += n
+        logger.log(system, params, state,
+                   extra={"rebuilds": int(diag["n_rebuilds"])})
+        if int(diag["cell_overflow"]) or int(diag["nlist_overflow"]):
+            print("ERROR: neighbor capacity overflow — increase capacity "
+                  "(cells/nlist_m)", file=sys.stderr)
+            return 1
+        if run_cfg.dump_every and done % run_cfg.dump_every == 0:
+            write_lammpstrj(run_cfg.dump_path, state)
+        if run_cfg.restart_every and done % run_cfg.restart_every == 0:
+            save_restart(run_cfg.restart_path, state)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -28,7 +28,9 @@ import jax.numpy as jnp
 from meso_tpu.core.box import Box
 from meso_tpu.core.integrate import initial_integrate, final_integrate
 from meso_tpu.core.state import State
-from meso_tpu.ops.dpd import DPDParams, dense_forces
+from meso_tpu.neighbor.cells import CellConfig, build_cells, max_displacement_sq
+from meso_tpu.neighbor.nlist import build_nlist
+from meso_tpu.ops.dpd import DPDParams, dense_forces, nlist_forces
 
 Array = jax.Array
 
@@ -62,12 +64,28 @@ class System:
     lam: float = 0.5              # Groot-Warren lambda (0.65 for large dt)
     rng_mode: str = "tea"         # "tea" (reference parity) | "fast"
     rng_rounds: int = 8
-    force_path: str = "dense"     # "dense" | "cells" | "pallas"
+    force_path: str = "dense"     # "dense" | "nlist" | "pallas"
     frozen_types: Tuple[int, ...] = ()   # wall particle types: forces yes, motion no
     fixes: Tuple[Any, ...] = ()          # post-integrate/post-force hook objects
+    # neighbor machinery (required for force_path != "dense")
+    cells: CellConfig | None = None
+    nlist_m: int = 0              # padded neighbor-row capacity M
+    rc_max: float = 1.0           # global interaction cutoff (cell sizing)
 
     def replace(self, **kw) -> "System":
         return dataclasses.replace(self, **kw)
+
+    @staticmethod
+    def for_fluid(box_lengths, rc: float, density: float, dt: float = 0.01,
+                  skin: float = 0.3, rebuild_every: int = 10,
+                  **kw) -> "System":
+        """Convenience constructor sizing cells and list capacity from density."""
+        from meso_tpu.neighbor.nlist import neighbor_capacity
+        cfg = CellConfig.for_box(box_lengths, rc, density, skin=skin,
+                                 rebuild_every=rebuild_every)
+        m = neighbor_capacity(density, rc, skin)
+        return System(dt=dt, force_path="nlist", cells=cfg, nlist_m=m,
+                      rc_max=rc, **kw)
 
 
 def _move_mask(system: System, typ: Array, mask: Array) -> Array:
@@ -78,12 +96,18 @@ def _move_mask(system: System, typ: Array, mask: Array) -> Array:
 
 
 def compute_forces(system: System, params: SystemParams, state: State,
-                   x: Array, v: Array, step: Array):
+                   x: Array, v: Array, step: Array, nlist_idx=None):
     """Dispatch to the configured force path. Returns (f, aux dict)."""
     if system.force_path == "dense":
         f, virial, _ = dense_forces(
             x, v, state.typ, state.tag, state.mask, state.box, step,
             params.pair, system.dt,
+            rng_mode=system.rng_mode, rng_rounds=system.rng_rounds)
+        return f, {"virial": virial}
+    if system.force_path == "nlist":
+        f, virial = nlist_forces(
+            x, v, state.typ, state.tag, state.mask, state.box, step,
+            params.pair, system.dt, nlist_idx,
             rng_mode=system.rng_mode, rng_rounds=system.rng_rounds)
         return f, {"virial": virial}
     raise ValueError(f"unknown force_path {system.force_path!r}")
@@ -92,7 +116,7 @@ def compute_forces(system: System, params: SystemParams, state: State,
 def make_step(system: System):
     """Build the pure one-step function for this system."""
 
-    def step_fn(params: SystemParams, state: State) -> State:
+    def step_fn(params: SystemParams, state: State, nlist_idx=None) -> State:
         inv_m = params.inv_mass[state.typ]
         move = _move_mask(system, state.typ, state.mask)
         new_step = state.step + 1
@@ -109,7 +133,8 @@ def make_step(system: System):
                     system, params, state, x1, image1, v_tilde)
 
         # --- force evaluation at (x', v~), RNG counter = new step ---
-        f_new, aux = compute_forces(system, params, state, x1, v_tilde, new_step)
+        f_new, aux = compute_forces(system, params, state, x1, v_tilde,
+                                    new_step, nlist_idx)
 
         # --- post_force fixes (body force etc.) ---
         for fx in system.fixes:
@@ -131,16 +156,39 @@ def make_step(system: System):
     return step_fn
 
 
+def rebuild(system: System, state: State):
+    """Neighbor rebuild: re-sort by cell + rebuild buckets and lists.
+
+    Returns (sorted_state, nlist_idx, diag) where diag carries the checked
+    capacity invariants (SURVEY.md §5.2).
+    """
+    state, cells = build_cells(state, system.cells)
+    nlist = build_nlist(state.x, state.mask, state.box, cells, system.cells,
+                        system.rc_max, system.nlist_m)
+    diag = {
+        "cell_overflow": cells.overflow,
+        "nlist_overflow": nlist.overflow,
+        "max_neigh": jnp.max(nlist.n_neigh),
+    }
+    return state, nlist.idx, cells.x_ref, diag
+
+
 def setup(system: System, params: SystemParams, state: State) -> State:
     """Initial force evaluation (Verlet::setup analog, SURVEY.md §3.1)."""
-    f0, _ = compute_forces(system, params, state, state.x, state.v, state.step)
+    if system.force_path == "dense":
+        f0, _ = compute_forces(system, params, state, state.x, state.v,
+                               state.step)
+        return state.replace(f=f0)
+    state, nlist_idx, _, _ = rebuild(system, state)
+    f0, _ = compute_forces(system, params, state, state.x, state.v,
+                           state.step, nlist_idx)
     return state.replace(f=f0)
 
 
 @partial(jax.jit, static_argnames=("system", "nsteps"))
 def run_chunk(system: System, params: SystemParams, state: State,
               nsteps: int) -> State:
-    """Advance `nsteps` steps under one lax.scan (zero host round-trips)."""
+    """Advance `nsteps` dense-path steps under one lax.scan (no rebuilds)."""
     step_fn = make_step(system)
 
     def body(s, _):
@@ -148,3 +196,83 @@ def run_chunk(system: System, params: SystemParams, state: State,
 
     state, _ = jax.lax.scan(body, state, None, length=nsteps)
     return state
+
+
+@partial(jax.jit, static_argnames=("system", "nchunks"))
+def run(system: System, params: SystemParams, state: State, nchunks: int):
+    """The production loop: nchunks x (rebuild + rebuild_every steps), all
+    inside one jit — the TPU analog of Verlet::run with its rebuild cadence
+    (SURVEY.md §3.2). Returns (state, diagnostics) where diagnostics are
+    per-chunk checked invariants: capacity overflows and the skin-violation
+    flag (max displacement since rebuild vs skin/2, SURVEY.md §5.2).
+    """
+    if system.force_path == "dense":
+        return run_chunk(system, params, state,
+                         nchunks * (system.cells.rebuild_every
+                                    if system.cells else 1)), {}
+    step_fn = make_step(system)
+    half_skin_sq = jnp.float32((system.cells.skin * 0.5) ** 2)
+
+    def chunk(state, _):
+        state, nlist_idx, x_ref, diag = rebuild(system, state)
+
+        def body(s, _):
+            return step_fn(params, s, nlist_idx), None
+
+        state, _ = jax.lax.scan(body, state, None,
+                                length=system.cells.rebuild_every)
+        disp2 = max_displacement_sq(state.x, x_ref, state.mask, state.box)
+        diag["skin_violation"] = (disp2 > half_skin_sq).astype(jnp.int32)
+        diag["max_disp_sq"] = disp2
+        return state, diag
+
+    state, diags = jax.lax.scan(chunk, state, None, length=nchunks)
+    return state, diags
+
+
+@partial(jax.jit, static_argnames=("system", "nsteps"))
+def run_adaptive(system: System, params: SystemParams, state: State,
+                 nsteps: int):
+    """Displacement-triggered rebuild loop — the ``Neighbor::decide()``
+    analog (SURVEY.md §3.2): before each step, if any particle has moved
+    more than skin/2 since the last rebuild, re-sort and rebuild lists via
+    ``lax.cond`` (the rebuild branch executes only when taken). Guarantee
+    matches the reference: overshoot is bounded by one step of motion.
+
+    Returns (state, diag) with diag = dict of n_rebuilds, worst displacement
+    at rebuild, and max capacity overflows seen (checked invariants, §5.2).
+    """
+    step_fn = make_step(system)
+    half_skin_sq = jnp.float32((system.cells.skin * 0.5) ** 2)
+
+    state, nlist_idx, x_ref, d0 = rebuild(system, state)
+
+    def body(carry, _):
+        state, nlist_idx, x_ref, nrb, worst2, cof, nof = carry
+        disp2 = max_displacement_sq(state.x, x_ref, state.mask, state.box)
+        need = disp2 > half_skin_sq
+
+        def do_rebuild(args):
+            st, _, _, cof, nof = args
+            st, nl, xr, d = rebuild(system, st)
+            return (st, nl, xr, jnp.maximum(cof, d["cell_overflow"]),
+                    jnp.maximum(nof, d["nlist_overflow"]))
+
+        def no_rebuild(args):
+            return args
+
+        state, nlist_idx, x_ref, cof, nof = jax.lax.cond(
+            need, do_rebuild, no_rebuild, (state, nlist_idx, x_ref, cof, nof))
+        state = step_fn(params, state, nlist_idx)
+        nrb = nrb + need.astype(jnp.int32)
+        worst2 = jnp.maximum(worst2, jnp.where(need, disp2, 0.0))
+        return (state, nlist_idx, x_ref, nrb, worst2, cof, nof), None
+
+    zero = jnp.zeros((), jnp.int32)
+    carry = (state, nlist_idx, x_ref, zero, jnp.zeros((), jnp.float32),
+             d0["cell_overflow"], d0["nlist_overflow"])
+    carry, _ = jax.lax.scan(body, carry, None, length=nsteps)
+    state, nlist_idx, x_ref, nrb, worst2, cof, nof = carry
+    diag = {"n_rebuilds": nrb, "worst_disp_at_rebuild": jnp.sqrt(worst2),
+            "cell_overflow": cof, "nlist_overflow": nof}
+    return state, diag

@@ -1,0 +1,108 @@
+"""Declarative TOML decks — the input-script analog (SURVEY.md §5.6).
+
+The reference's config system is the imperative LAMMPS input DSL
+(``pair_style dpd A gamma seed``, ``pair_coeff``, ``fix``, ``run``;
+``src/input.cpp``). Our deck is declarative TOML whose field names mirror
+those concepts 1:1 so reference decks translate mechanically:
+
+    [box]            lengths = [32.0, 32.0, 32.0]
+    [atoms]          density = 3.0   kt = 1.0   types = 1   create = "random"
+    [pair.dpd]       a = 25.0  gamma = 4.5  rc = 1.0  kt = 1.0  seed = 928459
+    [[pair.coeff]]   i = 1  j = 1  a = 25.0  gamma = 4.5  rc = 1.0
+    [integrate]      dt = 0.01  lambda_ = 0.5
+    [neighbor]       skin = 0.3  rebuild = "adaptive"
+    [run]            steps = 1000  thermo_every = 100
+
+``pair.coeff`` rows use 1-based type indices like LAMMPS; mixing for
+unspecified off-diagonal pairs follows the DPD convention (arithmetic mean
+of a, geometric-free: a_ij given explicitly or averaged).
+"""
+
+from __future__ import annotations
+
+import tomllib
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from meso_tpu.core.box import Box
+from meso_tpu.core.state import create_random
+from meso_tpu.core.system import System, SystemParams, setup
+from meso_tpu.ops.dpd import DPDParams
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    steps: int = 1000
+    thermo_every: int = 100
+    dump_every: int = 0
+    dump_path: str = "dump.lammpstrj"
+    restart_every: int = 0
+    restart_path: str = "restart.npz"
+
+
+def load_deck(path: str) -> dict:
+    with open(path, "rb") as fh:
+        return tomllib.load(fh)
+
+
+def build_from_deck(deck: dict):
+    """deck dict -> (system, params, state, run_cfg)."""
+    boxcfg = deck.get("box", {})
+    lengths = boxcfg.get("lengths") or [boxcfg.get("l", 10.0)] * 3
+    box = Box.orthorhombic(*[float(v) for v in lengths])
+    vol = float(np.prod(lengths))
+
+    atoms = deck.get("atoms", {})
+    n_types = int(atoms.get("types", 1))
+    kt_init = float(atoms.get("kt", 1.0))
+    if "n" in atoms:
+        n = int(atoms["n"])
+    else:
+        n = int(round(float(atoms.get("density", 3.0)) * vol))
+    density = n / vol
+
+    pd = deck.get("pair", {}).get("dpd", {})
+    kt = float(pd.get("kt", 1.0))
+    a = np.full((n_types, n_types), float(pd.get("a", 25.0)), np.float32)
+    gamma = np.full((n_types, n_types), float(pd.get("gamma", 4.5)), np.float32)
+    rc = np.full((n_types, n_types), float(pd.get("rc", 1.0)), np.float32)
+    for row in deck.get("pair", {}).get("coeff", []):
+        i, j = int(row["i"]) - 1, int(row["j"]) - 1
+        for tbl, key in ((a, "a"), (gamma, "gamma"), (rc, "rc")):
+            if key in row:
+                tbl[i, j] = tbl[j, i] = float(row[key])
+    pair = DPDParams.build(a=a, gamma=gamma, rc=rc, kt=kt,
+                           seed=int(pd.get("seed", 12345)), n_types=n_types)
+    params = SystemParams.build(pair, mass=atoms.get("mass", 1.0))
+
+    integ = deck.get("integrate", {})
+    neigh = deck.get("neighbor", {})
+    system = System.for_fluid(
+        lengths, rc=float(np.max(rc)), density=density,
+        dt=float(integ.get("dt", 0.01)),
+        skin=float(neigh.get("skin", 0.3)),
+        rebuild_every=int(neigh.get("rebuild_every", 10)),
+        rng_mode=str(deck.get("rng", {}).get("mode", "tea")),
+    )
+    system = system.replace(lam=float(integ.get("lambda_", integ.get("lambda", 0.5))))
+
+    create = atoms.get("create", "random")
+    if create == "random":
+        state = create_random(jax.random.PRNGKey(int(atoms.get("init_seed", 0))),
+                              n, box, kt=kt_init)
+    else:
+        raise ValueError(f"unknown atoms.create {create!r}")
+    state = setup(system, params, state)
+
+    rn = deck.get("run", {})
+    run_cfg = RunConfig(
+        steps=int(rn.get("steps", 1000)),
+        thermo_every=int(rn.get("thermo_every", 100)),
+        dump_every=int(rn.get("dump_every", 0)),
+        dump_path=str(rn.get("dump_path", "dump.lammpstrj")),
+        restart_every=int(rn.get("restart_every", 0)),
+        restart_path=str(rn.get("restart_path", "restart.npz")),
+    )
+    return system, params, state, run_cfg

@@ -1,0 +1,35 @@
+"""Config 1 — the classic Groot-Warren DPD fluid (BASELINE.json configs[0]).
+
+Canonical parameters (SURVEY.md A.1): rho=3, a=25, gamma=4.5 (sigma=3 at
+kT=1), rc=1, cubic box, modified velocity-Verlet. The 32^3 box holds 98,304
+particles; the 1M benchmark uses a 70^3 box (1,029,000 particles).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from meso_tpu.core.box import Box
+from meso_tpu.core.state import State, create_random
+from meso_tpu.core.system import System, SystemParams, setup
+from meso_tpu.ops.dpd import DPDParams
+
+
+def classic_fluid(l: float = 32.0, density: float = 3.0, kt: float = 1.0,
+                  a: float = 25.0, gamma: float = 4.5, rc: float = 1.0,
+                  dt: float = 0.01, seed: int = 928459, init_seed: int = 0,
+                  skin: float = 0.3, rebuild_every: int = 10,
+                  rng_mode: str = "tea", force_path: str = "nlist",
+                  ) -> tuple[System, SystemParams, State]:
+    """Build (system, params, state) for the classic fluid, forces initialized."""
+    box = Box.cubic(l)
+    n = int(round(density * l ** 3))
+    state = create_random(jax.random.PRNGKey(init_seed), n, box, kt=kt)
+    params = SystemParams.build(
+        DPDParams.build(a=a, gamma=gamma, rc=rc, kt=kt, seed=seed))
+    system = System.for_fluid([l] * 3, rc=rc, density=density, dt=dt,
+                              skin=skin, rebuild_every=rebuild_every,
+                              rng_mode=rng_mode)
+    if force_path != "nlist":
+        system = system.replace(force_path=force_path)
+    return system, params, setup(system, params, state)

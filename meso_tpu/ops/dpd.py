@@ -114,6 +114,44 @@ def _theta_dense(tag: Array, step: Array, params: DPDParams,
     raise ValueError(f"unknown rng_mode {rng_mode!r}")
 
 
+def nlist_forces(x: Array, v: Array, typ: Array, tag: Array, mask: Array,
+                 box: Box, step: Array, params: DPDParams, dt: float,
+                 nlist_idx: Array, rng_mode: str = "tea", rng_rounds: int = 8):
+    """O(N*M) force evaluation over a padded full neighbor matrix.
+
+    The per-step analog of the reference pair kernel's neighbor-list loop
+    (``pair_dpd_meso.cu``, SURVEY.md §3.3): one writer per particle, RNG
+    recomputed per pair from tags. Lists carry pairs out to rc+skin; the
+    per-pair cutoff test inside ``pair_force`` zeroes the skin shell.
+    """
+    n = x.shape[0]
+    valid = nlist_idx < n
+    j = jnp.minimum(nlist_idx, n - 1)               # (N, M)
+    dr = box.min_image(x[:, None, :] - x[j])
+    vij = v[:, None, :] - v[j]
+    tag_j = tag[j]
+    if rng_mode == "tea":
+        theta = rngmod.pair_uniform_tea(tag[:, None], tag_j, step,
+                                        params.seed, rounds=rng_rounds)
+    elif rng_mode == "fast":
+        h = rngmod.particle_hash(tag, step, params.seed, rounds=rng_rounds)
+        theta = rngmod.pair_uniform_fast(h[:, None], h[j])
+    else:
+        raise ValueError(f"unknown rng_mode {rng_mode!r}")
+    typ_j = typ[j]
+    ti = typ[:, None]
+    a = params.a[ti, typ_j]
+    gamma = params.gamma[ti, typ_j]
+    sigma = params.sigma[ti, typ_j]
+    rc = jnp.where(valid & mask[:, None], params.rc[ti, typ_j], 0.0)
+    dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
+    f_pair, vir_half = pair_force(dr, vij, theta, a, gamma, sigma, rc,
+                                  dt_inv_sqrt, params.s_exp)
+    f = jnp.sum(f_pair, axis=1)
+    virial = jnp.sum(vir_half)
+    return f, virial
+
+
 @partial(jax.jit, static_argnames=("rng_mode", "rng_rounds"))
 def dense_forces(x: Array, v: Array, typ: Array, tag: Array, mask: Array,
                  box: Box, step: Array, params: DPDParams, dt: float,
