@@ -16,7 +16,7 @@ def main(argv=None):
     ap.add_argument("--log", default=None, help="JSONL thermo log path")
     args = ap.parse_args(argv)
 
-    from meso_tpu.core.system import run_adaptive
+    from meso_tpu.core.system import run_adaptive, run_bucket
     from meso_tpu.io.deck import build_from_deck, load_deck
     from meso_tpu.io.dump import write_lammpstrj
     from meso_tpu.io.restart import save_restart
@@ -27,14 +27,19 @@ def main(argv=None):
     logger = ThermoLogger(every=run_cfg.thermo_every, jsonl_path=args.log)
 
     logger.log(system, params, state)
+    runner = run_bucket if system.force_path in ("bucket", "pallas") \
+        else run_adaptive
     done = 0
     while done < steps:
         n = min(run_cfg.thermo_every, steps - done)
-        state, diag = run_adaptive(system, params, state, n)
+        state, diag = runner(system, params, state, n)
         done += n
         logger.log(system, params, state,
                    extra={"rebuilds": int(diag["n_rebuilds"])})
-        if int(diag["cell_overflow"]) or int(diag["nlist_overflow"]):
+        overflow = sum(int(diag[k]) for k in
+                       ("cell_overflow", "nlist_overflow", "bucket_overflow")
+                       if k in diag)
+        if overflow:
             print("ERROR: neighbor capacity overflow — increase capacity "
                   "(cells/nlist_m)", file=sys.stderr)
             return 1

@@ -38,9 +38,10 @@ Array = jax.Array
 _DELTA = jnp.uint32(0x9E3779B9)
 _K2 = jnp.uint32(0xC2B2AE35)
 _K3 = jnp.uint32(0x27D4EB2F)
-# 1/2^32: maps uint32 -> [0, 1)
-_U32_TO_UNIT = jnp.float32(2.3283064365386963e-10)
-_SQRT12 = jnp.float32(3.4641016151377544)  # sqrt(12): uniform -> unit variance
+# top 23 bits -> [0, 1): full float32 mantissa resolution, and int32-castable
+# (Mosaic TPU kernels support int32->f32 but not uint32->f32)
+_U23_TO_UNIT = 1.1920928955078125e-07  # 2^-23
+_SQRT12 = 3.4641016151377544  # sqrt(12): uniform -> unit variance
 
 
 def _u32(x) -> Array:
@@ -62,9 +63,14 @@ def tea(v0: Array, v1: Array, k0: Array, k1: Array, rounds: int = 8):
 
 
 def _u32_to_symmetric_uniform(u: Array) -> Array:
-    """uint32 -> zero-mean unit-variance uniform on (-sqrt 3, sqrt 3)."""
-    unit = u.astype(jnp.float32) * _U32_TO_UNIT  # [0, 1)
-    return (unit - jnp.float32(0.5)) * _SQRT12
+    """uint32 -> zero-mean unit-variance uniform on (-sqrt 3, sqrt 3).
+
+    Uses the top 23 bits through an int32 cast so the identical code runs
+    inside Mosaic TPU kernels and in XLA.
+    """
+    bits = jax.lax.bitcast_convert_type(u >> 9, jnp.int32)  # in [0, 2^23)
+    unit = bits.astype(jnp.float32) * jnp.float32(_U23_TO_UNIT)  # [0, 1)
+    return (unit - jnp.float32(0.5)) * jnp.float32(_SQRT12)
 
 
 @partial(jax.jit, static_argnames=("rounds",))

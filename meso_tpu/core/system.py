@@ -43,6 +43,7 @@ class SystemParams:
     pair: DPDParams
     mass: Array       # (T,) per-type mass
     inv_mass: Array   # (T,) 1/mass
+    bonded: Any = None  # Optional[BondedParams] (FENE/membrane topology)
 
     @staticmethod
     def build(pair: DPDParams, mass=1.0) -> "SystemParams":
@@ -51,6 +52,10 @@ class SystemParams:
         if m.ndim == 0:
             m = jnp.full((n_types,), m)
         return SystemParams(pair=pair, mass=m, inv_mass=1.0 / m)
+
+    # same constructor for eDPD/tDPD parameter pytrees (any pair-params
+    # object exposing an (T,T) `a` table)
+    build_raw = build
 
     def replace(self, **kw) -> "SystemParams":
         return dataclasses.replace(self, **kw)
@@ -64,7 +69,11 @@ class System:
     lam: float = 0.5              # Groot-Warren lambda (0.65 for large dt)
     rng_mode: str = "tea"         # "tea" (reference parity) | "fast"
     rng_rounds: int = 8
-    force_path: str = "dense"     # "dense" | "nlist" | "pallas"
+    model: str = "dpd"            # "dpd" | "edpd" | "tdpd"
+    force_path: str = "dense"     # "dense" | "nlist" | "bucket" | "pallas"
+    bond_style: str | None = None  # "fene" | "harmonic" | "wlc_pow"
+    n_tags: int = 0               # max particle tag (bonded topology space)
+    n_mols: int = 0               # molecule count (membrane reductions)
     frozen_types: Tuple[int, ...] = ()   # wall particle types: forces yes, motion no
     fixes: Tuple[Any, ...] = ()          # post-integrate/post-force hook objects
     # neighbor machinery (required for force_path != "dense")
@@ -96,8 +105,38 @@ def _move_mask(system: System, typ: Array, mask: Array) -> Array:
 
 
 def compute_forces(system: System, params: SystemParams, state: State,
-                   x: Array, v: Array, step: Array, nlist_idx=None):
-    """Dispatch to the configured force path. Returns (f, aux dict)."""
+                   x: Array, v: Array, step: Array, nlist_idx=None,
+                   t=None, c=None):
+    """Dispatch to the configured model + force path. Returns (f, aux dict);
+    aux carries 'virial' and, per model, 'dTdt' / 'dCdt'."""
+    if system.model == "edpd":
+        from meso_tpu.ops import edpd as edpd_mod
+        if system.force_path == "dense":
+            f, dtdt, virial = edpd_mod.dense_forces_edpd(
+                x, v, t, state.typ, state.tag, state.mask, state.box, step,
+                params.pair, system.dt, rng_rounds=system.rng_rounds)
+        elif system.force_path in ("bucket", "pallas"):
+            f, dtdt, virial = edpd_mod.bucket_forces_edpd(
+                x, v, t, state.typ, state.tag, state.mask, state.box, step,
+                params.pair, system.dt, system.cells,
+                rng_rounds=system.rng_rounds)
+        else:
+            raise ValueError(f"edpd does not support {system.force_path!r}")
+        return f, {"virial": virial, "dTdt": dtdt}
+    if system.model == "tdpd":
+        from meso_tpu.ops import tdpd as tdpd_mod
+        if system.force_path == "dense":
+            f, dcdt, virial = tdpd_mod.dense_forces_tdpd(
+                x, v, c, state.typ, state.tag, state.mask, state.box, step,
+                params.pair, system.dt, rng_rounds=system.rng_rounds)
+        elif system.force_path in ("bucket", "pallas"):
+            f, dcdt, virial = tdpd_mod.bucket_forces_tdpd(
+                x, v, c, state.typ, state.tag, state.mask, state.box, step,
+                params.pair, system.dt, system.cells,
+                rng_rounds=system.rng_rounds)
+        else:
+            raise ValueError(f"tdpd does not support {system.force_path!r}")
+        return f, {"virial": virial, "dCdt": dcdt}
     if system.force_path == "dense":
         f, virial, _ = dense_forces(
             x, v, state.typ, state.tag, state.mask, state.box, step,
@@ -110,7 +149,31 @@ def compute_forces(system: System, params: SystemParams, state: State,
             params.pair, system.dt, nlist_idx,
             rng_mode=system.rng_mode, rng_rounds=system.rng_rounds)
         return f, {"virial": virial}
+    if system.force_path in ("bucket", "pallas"):
+        if system.force_path == "bucket":
+            from meso_tpu.ops.bucket_dpd import bucket_forces_xla as bf
+        else:
+            from meso_tpu.kernels.pair_dpd import bucket_forces_pallas as bf
+        f, virial = bf(
+            x, v, state.typ, state.tag, state.mask, state.box, step,
+            params.pair, system.dt, system.cells,
+            rng_mode=system.rng_mode, rng_rounds=system.rng_rounds)
+        return f, {"virial": virial}
     raise ValueError(f"unknown force_path {system.force_path!r}")
+
+
+def _post_forces(system: System, params: SystemParams, state: State,
+                 x: Array, v_tilde: Array, f: Array) -> Array:
+    """Bonded terms (FENE/membrane; SURVEY.md row 24) + post_force fixes."""
+    if system.bond_style is not None:
+        from meso_tpu.ops.bonded import bonded_forces
+        f = f + bonded_forces(x, state.tag, state.mask, state.box,
+                              params.bonded, system.bond_style,
+                              system.n_tags, system.n_mols)
+    for fx in system.fixes:
+        if hasattr(fx, "post_force"):
+            f = fx.post_force(system, params, state, x, v_tilde, f)
+    return f
 
 
 def make_step(system: System):
@@ -134,18 +197,24 @@ def make_step(system: System):
 
         # --- force evaluation at (x', v~), RNG counter = new step ---
         f_new, aux = compute_forces(system, params, state, x1, v_tilde,
-                                    new_step, nlist_idx)
+                                    new_step, nlist_idx,
+                                    t=state.T, c=state.C)
 
-        # --- post_force fixes (body force etc.) ---
-        for fx in system.fixes:
-            if hasattr(fx, "post_force"):
-                f_new = fx.post_force(system, params, state, x1, v_tilde, f_new)
+        # --- bonded terms + post_force fixes ---
+        f_new = _post_forces(system, params, state, x1, v_tilde, f_new)
 
         # --- final_integrate (corrector) ---
         v1 = final_integrate(state.v, state.f, f_new, system.dt, inv_m, move)
 
         new_state = state.replace(x=x1, v=v1, f=f_new, image=image1,
                                   step=new_step)
+        if system.model == "edpd":
+            t1 = state.T + system.dt * jnp.where(move, aux["dTdt"], 0.0)
+            new_state = new_state.replace(T=t1, dTdt=aux["dTdt"])
+        elif system.model == "tdpd":
+            c1 = state.C + system.dt * jnp.where(move[:, None],
+                                                 aux["dCdt"], 0.0)
+            new_state = new_state.replace(C=c1, dCdt=aux["dCdt"])
 
         # --- end_of_step fixes ---
         for fx in system.fixes:
@@ -175,13 +244,15 @@ def rebuild(system: System, state: State):
 
 def setup(system: System, params: SystemParams, state: State) -> State:
     """Initial force evaluation (Verlet::setup analog, SURVEY.md §3.1)."""
-    if system.force_path == "dense":
-        f0, _ = compute_forces(system, params, state, state.x, state.v,
-                               state.step)
-        return state.replace(f=f0)
-    state, nlist_idx, _, _ = rebuild(system, state)
+    if system.force_path in ("bucket", "pallas"):
+        from meso_tpu.neighbor.bucket_layout import to_bucket_state
+        state = to_bucket_state(state, system.cells)
+    nlist_idx = None
+    if system.force_path == "nlist":
+        state, nlist_idx, _, _ = rebuild(system, state)
     f0, _ = compute_forces(system, params, state, state.x, state.v,
-                           state.step, nlist_idx)
+                           state.step, nlist_idx, t=state.T, c=state.C)
+    f0 = _post_forces(system, params, state, state.x, state.v, f0)
     return state.replace(f=f0)
 
 
@@ -276,3 +347,80 @@ def run_adaptive(system: System, params: SystemParams, state: State,
     diag = {"n_rebuilds": nrb, "worst_disp_at_rebuild": jnp.sqrt(worst2),
             "cell_overflow": cof, "nlist_overflow": nof}
     return state, diag
+
+
+@partial(jax.jit, static_argnames=("system", "nsteps"))
+def run_bucket(system: System, params: SystemParams, state: State,
+               nsteps: int):
+    """Adaptive displacement-triggered loop for the bucket-resident paths
+    ("bucket" XLA / "pallas" kernel): the state rows ARE the cell buckets,
+    so rebuild = redistribute rows (sort+scatter) and there is no neighbor
+    list at all. Same Neighbor::decide semantics as ``run_adaptive``.
+
+    ``state`` must already be bucket-resident (from ``setup``).
+    """
+    from meso_tpu.neighbor.bucket_layout import rebuild_buckets
+
+    step_fn = make_step(system)
+    half_skin_sq = jnp.float32((system.cells.skin * 0.5) ** 2)
+
+    state, of0 = rebuild_buckets(state, system.cells)
+
+    def body(carry, _):
+        state, x_ref, nrb, worst2, of = carry
+        disp2 = max_displacement_sq(state.x, x_ref, state.mask, state.box)
+        need = disp2 > half_skin_sq
+
+        def do_rebuild(args):
+            st, _, of = args
+            st, ov = rebuild_buckets(st, system.cells)
+            return st, st.x, jnp.maximum(of, ov)
+
+        state, x_ref, of = jax.lax.cond(
+            need, do_rebuild, lambda a: a, (state, x_ref, of))
+        state = step_fn(params, state)
+        nrb = nrb + need.astype(jnp.int32)
+        worst2 = jnp.maximum(worst2, jnp.where(need, disp2, 0.0))
+        return (state, x_ref, nrb, worst2, of), None
+
+    carry = (state, state.x, jnp.zeros((), jnp.int32),
+             jnp.zeros((), jnp.float32), of0)
+    carry, _ = jax.lax.scan(body, carry, None, length=nsteps)
+    state, _, nrb, worst2, of = carry
+    diag = {"n_rebuilds": nrb, "worst_disp_at_rebuild": jnp.sqrt(worst2),
+            "bucket_overflow": of}
+    return state, diag
+
+
+@partial(jax.jit, static_argnames=("system", "nchunks", "steps_per_chunk"))
+def run_bucket_fixed(system: System, params: SystemParams, state: State,
+                     nchunks: int, steps_per_chunk: int):
+    """Fixed-cadence bucket loop, fully fused: ONE jitted program covering
+    nchunks x (rebuild + steps_per_chunk steps). The production/bench entry
+    — minimizes per-call overhead and host round-trips (SURVEY.md §7.0).
+
+    Returns (state, diag) with max bucket overflow and the worst
+    displacement-vs-half-skin ratio across chunks (checked invariants)."""
+    from meso_tpu.neighbor.bucket_layout import rebuild_buckets
+
+    step_fn = make_step(system)
+    half_skin = jnp.float32(system.cells.skin * 0.5)
+
+    def chunk(carry, _):
+        state, of_max, worst = carry
+        state, of = rebuild_buckets(state, system.cells)
+        x_ref = state.x
+
+        def body(s, _):
+            return step_fn(params, s), None
+
+        state, _ = jax.lax.scan(body, state, None, length=steps_per_chunk)
+        disp = jnp.sqrt(max_displacement_sq(state.x, x_ref, state.mask,
+                                            state.box))
+        return (state, jnp.maximum(of_max, of),
+                jnp.maximum(worst, disp / half_skin)), None
+
+    carry = (state, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32))
+    (state, of_max, worst), _ = jax.lax.scan(chunk, carry, None,
+                                             length=nchunks)
+    return state, {"bucket_overflow": of_max, "worst_skin_ratio": worst}

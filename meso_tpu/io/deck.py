@@ -47,8 +47,45 @@ def load_deck(path: str) -> dict:
         return tomllib.load(fh)
 
 
+_BUILDERS = {
+    "classic_fluid": "meso_tpu.models.classic:classic_fluid",
+    "poiseuille": "meso_tpu.models.walls:poiseuille",
+    "couette": "meso_tpu.models.walls:couette",
+    "edpd_slab": "meso_tpu.models.transport:edpd_slab",
+    "tdpd_diffusion": "meso_tpu.models.transport:tdpd_diffusion",
+    "polymer_melt": "meso_tpu.models.polymer:polymer_melt",
+    "membrane_suspension": "meso_tpu.models.polymer:membrane_suspension",
+}
+
+
+def _run_cfg(deck: dict) -> "RunConfig":
+    rn = deck.get("run", {})
+    return RunConfig(
+        steps=int(rn.get("steps", 1000)),
+        thermo_every=int(rn.get("thermo_every", 100)),
+        dump_every=int(rn.get("dump_every", 0)),
+        dump_path=str(rn.get("dump_path", "dump.lammpstrj")),
+        restart_every=int(rn.get("restart_every", 0)),
+        restart_path=str(rn.get("restart_path", "restart.npz")))
+
+
 def build_from_deck(deck: dict):
-    """deck dict -> (system, params, state, run_cfg)."""
+    """deck dict -> (system, params, state, run_cfg).
+
+    Two forms: the explicit [box]/[atoms]/[pair.dpd] schema below, or a
+    named model builder (the five validation configs):
+
+        [model]       builder = "poiseuille"
+        [model.args]  g = 0.1  h = 6.0
+    """
+    if "model" in deck:
+        import importlib
+        name = deck["model"]["builder"]
+        modpath, fn = _BUILDERS[name].split(":")
+        builder = getattr(importlib.import_module(modpath), fn)
+        out = builder(**deck["model"].get("args", {}))
+        system, params, state = out[:3]
+        return system, params, state, _run_cfg(deck)
     boxcfg = deck.get("box", {})
     lengths = boxcfg.get("lengths") or [boxcfg.get("l", 10.0)] * 3
     box = Box.orthorhombic(*[float(v) for v in lengths])
@@ -86,7 +123,9 @@ def build_from_deck(deck: dict):
         rebuild_every=int(neigh.get("rebuild_every", 10)),
         rng_mode=str(deck.get("rng", {}).get("mode", "tea")),
     )
-    system = system.replace(lam=float(integ.get("lambda_", integ.get("lambda", 0.5))))
+    system = system.replace(
+        lam=float(integ.get("lambda_", integ.get("lambda", 0.5))),
+        force_path=str(deck.get("engine", {}).get("force_path", "nlist")))
 
     create = atoms.get("create", "random")
     if create == "random":
@@ -96,13 +135,4 @@ def build_from_deck(deck: dict):
         raise ValueError(f"unknown atoms.create {create!r}")
     state = setup(system, params, state)
 
-    rn = deck.get("run", {})
-    run_cfg = RunConfig(
-        steps=int(rn.get("steps", 1000)),
-        thermo_every=int(rn.get("thermo_every", 100)),
-        dump_every=int(rn.get("dump_every", 0)),
-        dump_path=str(rn.get("dump_path", "dump.lammpstrj")),
-        restart_every=int(rn.get("restart_every", 0)),
-        restart_path=str(rn.get("restart_path", "restart.npz")),
-    )
-    return system, params, state, run_cfg
+    return system, params, state, _run_cfg(deck)

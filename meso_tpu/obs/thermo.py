@@ -45,3 +45,20 @@ def pressure(v: Array, mass: Array, mask: Array, virial: Array,
     """
     mv2 = jnp.sum(jnp.where(mask, mass * jnp.sum(v * v, -1), 0.0))
     return (mv2 + virial) / (dim * volume)
+
+
+def potential_energy_dense(x, typ, mask, box, a_table, rc_table) -> Array:
+    """Exact conservative pair energy U = sum_{i<j} a rc/2 (1-r/rc)^2 via the
+    O(N^2) path (validation-scale; the Groot-Warren potential whose force is
+    a w(r))."""
+    import jax.numpy as jnp
+    dr = box.min_image(x[:, None, :] - x[None, :, :])
+    r2 = jnp.sum(dr * dr, -1)
+    n = x.shape[0]
+    valid = (mask[:, None] & mask[None, :]) & ~jnp.eye(n, dtype=bool)
+    a = a_table[typ[:, None], typ[None, :]]
+    rc = rc_table[typ[:, None], typ[None, :]]
+    r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+    w = jnp.maximum(1.0 - r / rc, 0.0)
+    u = 0.5 * a * rc * w * w
+    return 0.5 * jnp.sum(jnp.where(valid, u, 0.0))

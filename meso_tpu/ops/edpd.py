@@ -1,0 +1,205 @@
+"""eDPD — energy-conserving DPD with per-particle internal temperature.
+
+Physics contract: SURVEY.md A.2 (Espanol 1997 formulation as implemented by
+Li et al., reference ``pair_edpd_*_meso.cu`` expected path, §2b row 22):
+
+momentum:  F = a w e  - gamma w^2 (e.v) e  + sigma_ij w theta dt^-1/2 e,
+           sigma_ij^2 = 4 gamma k_B T_i T_j / (T_i + T_j)   (generalized FDT)
+energy:    C_v dT_i/dt = sum_j (q^C + q^V + q^R)
+           q^C = k_ij w_ct(r) (1/T_i - 1/T_j),  k_ij = kappa (T_i+T_j)^2/4
+           q^V = 1/2 [ w^2 (gamma (e.v)^2 - sigma_ij^2/m)
+                       - sigma_ij w (e.v) theta dt^-1/2 ]
+           q^R = beta_ij w_ct(r)^{1/2}... beta_ij^2 = 2 k_B k_ij,
+                 zeta antisymmetric (zeta_ij = -zeta_ji) so internal energy
+                 is exchanged, not created.
+
+Conservation structure: q^C and q^R are antisymmetric (pure exchange);
+2*q^V exactly equals the pairwise kinetic-energy loss of the thermostat in
+expectation, so total (kinetic + internal) energy is conserved.
+
+k_B = 1 (reduced units). w_ct = w^2 by default.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from meso_tpu.core import rng as rngmod
+from meso_tpu.core.box import Box
+from meso_tpu.neighbor.cells import CellConfig
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class EDPDParams:
+    """Coefficients for eDPD (single tables; type-pair tables like DPDParams)."""
+
+    a: Array       # (T,T) conservative amplitude
+    gamma: Array   # (T,T) dissipative coefficient
+    rc: Array      # (T,T) cutoff
+    kappa: Array   # (T,T) thermal-conductivity coefficient (k_ij prefactor)
+    cv: Array      # ()    per-particle heat capacity
+    mass: Array    # ()    particle mass (enters q^V)
+    seed: Array    # ()    uint32
+
+    @staticmethod
+    def build(a, gamma, rc, kappa, cv: float, seed: int, n_types: int = 1,
+              mass: float = 1.0) -> "EDPDParams":
+        def table(v):
+            arr = jnp.asarray(v, jnp.float32)
+            return jnp.full((n_types, n_types), arr) if arr.ndim == 0 else arr
+        return EDPDParams(a=table(a), gamma=table(gamma), rc=table(rc),
+                          kappa=table(kappa),
+                          cv=jnp.asarray(cv, jnp.float32),
+                          mass=jnp.asarray(mass, jnp.float32),
+                          seed=jnp.asarray(seed, jnp.uint32))
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+def edpd_pair(dr, vij, t_i, t_j, theta, zeta, a, gamma, rc, kappa,
+              mass, dt_inv_sqrt):
+    """Per-pair momentum force + heat rate for particle i.
+
+    Returns (f (...,3), q (...), virial_half (...)). theta symmetric,
+    zeta antisymmetric under i<->j.
+    """
+    r2 = jnp.sum(dr * dr, axis=-1)
+    inside = (r2 < rc * rc) & (r2 > 0.0)
+    r2s = jnp.where(inside, r2, 1.0)
+    rinv = jax.lax.rsqrt(r2s)
+    r = r2s * rinv
+    w = 1.0 - r / rc
+    ev = jnp.sum(dr * vij, axis=-1) * rinv
+    # generalized FDT
+    sigma2 = 4.0 * gamma * t_i * t_j / jnp.maximum(t_i + t_j, 1e-12)
+    sigma = jnp.sqrt(jnp.maximum(sigma2, 0.0))
+    w2 = w * w
+    fmag = a * w - gamma * w2 * ev + sigma * w * theta * dt_inv_sqrt
+    fmag = jnp.where(inside, fmag, 0.0)
+    f = (fmag * rinv)[..., None] * dr
+
+    k_ij = kappa * 0.25 * (t_i + t_j) ** 2
+    q_c = k_ij * w2 * (1.0 / jnp.maximum(t_i, 1e-12)
+                       - 1.0 / jnp.maximum(t_j, 1e-12))
+    q_v = 0.5 * (w2 * (gamma * ev * ev - sigma2 / mass)
+                 - sigma * w * ev * theta * dt_inv_sqrt)
+    beta = jnp.sqrt(jnp.maximum(2.0 * k_ij, 0.0))
+    q_r = beta * w * zeta * dt_inv_sqrt
+    q = jnp.where(inside, q_c + q_v + q_r, 0.0)
+    virial_half = 0.5 * fmag * r
+    return f, q, virial_half
+
+
+def _pair_noises(tag_i, tag_j, step, seed, rounds):
+    """(theta symmetric, zeta antisymmetric) from one pair-hash."""
+    h_i = rngmod.particle_hash(tag_i, step, seed, rounds=rounds)
+    h_j = rngmod.particle_hash(tag_j, step, seed, rounds=rounds)
+    h = rngmod.combine_symmetric(h_i, h_j)
+    theta = rngmod.uniform_stream(h, 0)
+    sign = jnp.where(tag_i < tag_j, 1.0, -1.0).astype(jnp.float32)
+    zeta = sign * rngmod.uniform_stream(h, 1)
+    return theta, zeta
+
+
+@partial(jax.jit, static_argnames=("dt", "rng_rounds"))
+def dense_forces_edpd(x, v, t, typ, tag, mask, box: Box, step, params:
+                      EDPDParams, dt: float, rng_rounds: int = 8):
+    """O(N^2) eDPD oracle. Returns (f, dTdt, virial)."""
+    n = x.shape[0]
+    dr = box.min_image(x[:, None, :] - x[None, :, :])
+    vij = v[:, None, :] - v[None, :, :]
+    theta, zeta = _pair_noises(tag[:, None], tag[None, :], step, params.seed,
+                               rng_rounds)
+    ti = typ[:, None]
+    tj = typ[None, :]
+    valid = (mask[:, None] & mask[None, :]) & ~jnp.eye(n, dtype=bool)
+    rc = jnp.where(valid, params.rc[ti, tj], 0.0)
+    f_p, q_p, vir = edpd_pair(dr, vij, t[:, None], t[None, :], theta, zeta,
+                              params.a[ti, tj], params.gamma[ti, tj], rc,
+                              params.kappa[ti, tj], params.mass,
+                              jnp.float32(1.0 / jnp.sqrt(dt)))
+    f = jnp.sum(f_p, axis=1)
+    dtdt = jnp.sum(q_p, axis=1) / params.cv
+    return f, dtdt, jnp.sum(vir)
+
+
+def bucket_forces_edpd(x, v, t, typ, tag, mask, box: Box, step,
+                       params: EDPDParams, dt: float, cfg: CellConfig,
+                       rng_rounds: int = 8):
+    """Structured (roll-based) eDPD forces over bucket-resident rows.
+    Returns (f (nr,3), dTdt (nr,), virial)."""
+    nx, ny, nz = cfg.ncell
+    k = cfg.capacity
+    nr = x.shape[0]
+    shape = (ny, nz, k, nx)
+
+    def plane(a):
+        return a.reshape(shape)
+
+    sx, sy, sz = plane(x[:, 0]), plane(x[:, 1]), plane(x[:, 2])
+    ux, uy, uz = plane(v[:, 0]), plane(v[:, 1]), plane(v[:, 2])
+    tp = plane(typ)
+    tt = plane(t)
+    tg = plane(tag)
+    valid = plane(mask)
+    h = plane(rngmod.particle_hash(tag, step, params.seed, rounds=rng_rounds))
+    lens = box.lengths
+
+    def mi(d, axis):
+        return d - jnp.round(d / lens[axis]) * lens[axis]
+
+    def selfe(p):
+        return p[:, :, None, :, :]
+
+    def neigh(p, dy, dz, dx):
+        return jnp.roll(p, (-dy, -dz, -dx), (0, 1, 3))[:, :, :, None, :]
+
+    eye = jnp.eye(k, dtype=bool)[None, None, :, :, None]
+    dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
+    f_acc = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
+    q_acc = jnp.zeros(shape, jnp.float32)
+    vir_acc = jnp.zeros(shape, jnp.float32)
+
+    for dy in (-1, 0, 1):
+        for dz in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                drx = mi(selfe(sx) - neigh(sx, dy, dz, dx), 0)
+                dry = mi(selfe(sy) - neigh(sy, dy, dz, dx), 1)
+                drz = mi(selfe(sz) - neigh(sz, dy, dz, dx), 2)
+                dvx = selfe(ux) - neigh(ux, dy, dz, dx)
+                dvy = selfe(uy) - neigh(uy, dy, dz, dx)
+                dvz = selfe(uz) - neigh(uz, dy, dz, dx)
+                hj = neigh(h, dy, dz, dx)
+                hp = rngmod.combine_symmetric(selfe(h), hj)
+                theta = rngmod.uniform_stream(hp, 0)
+                tgj = neigh(tg, dy, dz, dx)
+                sign = jnp.where(selfe(tg) < tgj, 1.0, -1.0)
+                zeta = sign * rngmod.uniform_stream(hp, 1)
+                ti = selfe(tp)
+                tj = neigh(tp, dy, dz, dx)
+                ok = selfe(valid) & neigh(valid, dy, dz, dx)
+                if dx == 0 and dy == 0 and dz == 0:
+                    ok = ok & ~eye
+                rc = jnp.where(ok, params.rc[ti, tj], 0.0)
+                dr = jnp.stack([drx, dry, drz], -1)
+                dv = jnp.stack([dvx, dvy, dvz], -1)
+                fp, qp, vh = edpd_pair(
+                    dr, dv, selfe(tt), neigh(tt, dy, dz, dx), theta, zeta,
+                    params.a[ti, tj], params.gamma[ti, tj], rc,
+                    params.kappa[ti, tj], params.mass, dt_inv_sqrt)
+                for c in range(3):
+                    f_acc[c] = f_acc[c] + jnp.sum(fp[..., c], axis=2)
+                q_acc = q_acc + jnp.sum(qp, axis=2)
+                vir_acc = vir_acc + jnp.sum(vh, axis=2)
+
+    f = jnp.stack([f_acc[c].reshape(nr) for c in range(3)], -1)
+    return f, q_acc.reshape(nr) / params.cv, jnp.sum(vir_acc)

@@ -1,0 +1,367 @@
+"""1-D spatial domain decomposition over a JAX device mesh.
+
+TPU-native replacement of the reference's MPI brick decomposition
+(``comm_brick.cpp`` + ``comm_meso.cu``; SURVEY.md §2a row 5, §2b rows 27-28,
+§2c, §5.8): each device owns a slab of the box along x as bucket-resident
+rows; per step, the two boundary cell-planes ride the ICI ring via
+``lax.ppermute`` (halo/ghost exchange with pre-shifted wrap coordinates);
+on the rebuild cadence, owner migration uses fixed-capacity masked send
+buffers + the same ring permutes (no dynamic-size collectives exist on TPU;
+overflow is a checked invariant, SURVEY.md §5.2/§7.2).
+
+Correctness properties carried over from the single-chip engine:
+* the counter-based pair RNG depends only on (tags, step, seed), so physics
+  is decomposition-invariant (the reference's rank-count-invariance, §4);
+* full traversals keep one writer per particle — ghost forces never need a
+  reverse path (reference skips reverse_comm for the same reason, §3.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from meso_tpu.core.box import Box
+from meso_tpu.core.state import State, zeros_state
+from meso_tpu.core.system import System, SystemParams, _move_mask, _post_forces
+from meso_tpu.core.integrate import final_integrate, initial_integrate
+from meso_tpu.neighbor.cells import CellConfig
+from meso_tpu.core import rng as rngmod
+from meso_tpu.ops.bucket_dpd import bucket_forces_xla_xhalo
+
+Array = jax.Array
+AXIS = "x"
+
+
+@dataclass(frozen=True)
+class DomainConfig:
+    """Static decomposition config (1-D slabs along x)."""
+
+    n_dev: int
+    cells: CellConfig          # LOCAL grid: (ncx_local, ny, nz), capacity K
+    lx_global: float           # global box length along x
+    cap_mig: int               # per-direction migration buffer capacity
+    rebuild_every: int = 5
+
+    @property
+    def ncx_local(self) -> int:
+        return self.cells.ncell[0]
+
+    @property
+    def slab_w(self) -> float:
+        return self.lx_global / self.n_dev
+
+
+
+def make_mesh_1d(n_dev: int) -> Mesh:
+    return Mesh(np.array(jax.devices()[:n_dev]), (AXIS,))
+
+
+# ---------------------------------------------------------------------------
+# local rebuild (slab frame)
+# ---------------------------------------------------------------------------
+
+def _rebuild_slab(state: State, cfg: CellConfig, slab_lo: Array,
+                  side_x: float):
+    """rebuild_buckets with x-cells indexed relative to the slab origin."""
+    nx, ny, nz = cfg.ncell
+    k = cfg.capacity
+    nr = ny * nz * k * nx
+    n_in = state.n
+    x = state.x
+    cx = jnp.clip(((x[:, 0] - slab_lo) / side_x).astype(jnp.int32), 0, nx - 1)
+    lens = state.box.lengths
+    cy = jnp.clip((x[:, 1] / lens[1] * ny).astype(jnp.int32), 0, ny - 1)
+    cz = jnp.clip((x[:, 2] / lens[2] * nz).astype(jnp.int32), 0, nz - 1)
+    key = (cy * nz + cz) * nx + cx
+    key = jnp.where(state.mask, key, nx * ny * nz)
+    order = jnp.argsort(key, stable=True)
+    key_s = key[order]
+    n_cells = nx * ny * nz
+    starts = jnp.searchsorted(
+        key_s, jnp.arange(n_cells + 1, dtype=key_s.dtype), side="left")
+    rank = jnp.arange(n_in, dtype=jnp.int32) - starts[
+        jnp.minimum(key_s, n_cells)].astype(jnp.int32)
+    valid_s = state.mask[order]
+    fits = valid_s & (rank < k)
+    overflow = jnp.sum(valid_s & (rank >= k))
+    base = key_s // nx
+    cxs = key_s - base * nx
+    target = (base * k + jnp.minimum(rank, k - 1)) * nx + cxs
+    target = jnp.where(fits, target, nr)
+
+    def scatter(a, fill=0):
+        if a is None:
+            return None
+        a_s = jnp.take(a, order, axis=0)
+        out = jnp.full((nr,) + a.shape[1:], fill, a.dtype)
+        return out.at[target].set(a_s, mode="drop")
+
+    new = State(
+        x=scatter(state.x), v=scatter(state.v), f=scatter(state.f),
+        typ=scatter(state.typ), tag=scatter(state.tag),
+        image=scatter(state.image), mask=scatter(state.mask, fill=False),
+        mol=scatter(state.mol), box=state.box, step=state.step,
+        T=scatter(state.T), dTdt=scatter(state.dTdt),
+        C=scatter(state.C), dCdt=scatter(state.dCdt))
+    return new, overflow
+
+
+# ---------------------------------------------------------------------------
+# migration (owner exchange on the ring)
+# ---------------------------------------------------------------------------
+
+_MIG_FIELDS = ["x", "v", "f", "tag", "typ", "image", "mol"]
+
+
+def _pack(state: State, sel: Array, cap: int):
+    """Compact selected rows into fixed-capacity buffers via a stable sort
+    (selected rows first, original order preserved; no scan/cumsum)."""
+    order = jnp.argsort(~sel, stable=True)
+    take = order[:cap]
+    buf = {f: getattr(state, f)[take] for f in _MIG_FIELDS}
+    buf["mask"] = sel[take]
+    overflow = jnp.sum(sel) - jnp.sum(buf["mask"])
+    return buf, overflow
+
+
+def _migrate(state: State, dcfg: DomainConfig, slab_lo: Array,
+             slab_hi: Array):
+    """Ship rows whose x left the slab to the ring neighbors; returns the
+    merged (nr + 2*cap)-row state and the overflow counter."""
+    n = dcfg.n_dev
+    x0 = state.x[:, 0]
+    # target slab index (global wrap already applied by integrate)
+    tgt = jnp.clip((x0 / dcfg.slab_w).astype(jnp.int32), 0, n - 1)
+    me = jax.lax.axis_index(AXIS)
+    delta = jnp.mod(tgt - me, n)
+    go_right = state.mask & (delta == 1)
+    go_left = state.mask & (delta == n - 1)
+    too_far = state.mask & (delta != 0) & (delta != 1) & (delta != n - 1)
+
+    buf_r, of_r = _pack(state, go_right, dcfg.cap_mig)
+    buf_l, of_l = _pack(state, go_left, dcfg.cap_mig)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    recv_from_left = jax.tree.map(
+        lambda a: jax.lax.ppermute(a, AXIS, fwd), buf_r)
+    recv_from_right = jax.tree.map(
+        lambda a: jax.lax.ppermute(a, AXIS, bwd), buf_l)
+
+    keep = state.mask & ~go_right & ~go_left & ~too_far
+    state = state.replace(mask=keep)
+
+    def cat(field, local):
+        return jnp.concatenate(
+            [local, recv_from_left[field], recv_from_right[field]], axis=0)
+
+    merged = state.replace(
+        x=cat("x", state.x), v=cat("v", state.v), f=cat("f", state.f),
+        tag=cat("tag", state.tag), typ=cat("typ", state.typ),
+        image=cat("image", state.image), mol=cat("mol", state.mol),
+        mask=jnp.concatenate([keep, recv_from_left["mask"],
+                              recv_from_right["mask"]]))
+    overflow = of_r + of_l + jnp.sum(too_far)
+    return merged, overflow
+
+
+# ---------------------------------------------------------------------------
+# halo exchange + force evaluation
+# ---------------------------------------------------------------------------
+
+def _halo_forces(state: State, system: System, params: SystemParams,
+                 dcfg: DomainConfig, step: Array, x: Array, v: Array):
+    cfg = dcfg.cells
+    nx, ny, nz = cfg.ncell
+    k = cfg.capacity
+    n = dcfg.n_dev
+    shape = (ny, nz, k, nx)
+    h = rngmod.particle_hash(state.tag, step, params.pair.seed,
+                             rounds=system.rng_rounds)
+    planes = jnp.stack([
+        x[:, 0].reshape(shape), x[:, 1].reshape(shape),
+        x[:, 2].reshape(shape),
+        v[:, 0].reshape(shape), v[:, 1].reshape(shape),
+        v[:, 2].reshape(shape),
+        jax.lax.bitcast_convert_type(h, jnp.float32).reshape(shape),
+        state.mask.astype(jnp.float32).reshape(shape)])
+
+    right_edge = planes[..., -1:]
+    left_edge = planes[..., :1]
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    halo_left = jax.lax.ppermute(right_edge, AXIS, fwd)   # from left nbr
+    halo_right = jax.lax.ppermute(left_edge, AXIS, bwd)   # from right nbr
+    me = jax.lax.axis_index(AXIS)
+    lx = jnp.float32(dcfg.lx_global)
+    halo_left = halo_left.at[0].add(jnp.where(me == 0, -lx, 0.0))
+    halo_right = halo_right.at[0].add(jnp.where(me == n - 1, lx, 0.0))
+    # wrap halos along y/z are handled by periodic rolls inside the sweep
+    padded = jnp.concatenate([halo_left, planes, halo_right], axis=-1)
+    return bucket_forces_xla_xhalo(padded, state.box.lengths, params.pair,
+                                   system.dt, cfg.ncell, k)
+
+
+# ---------------------------------------------------------------------------
+# distributed step + loop
+# ---------------------------------------------------------------------------
+
+def _step_local(system: System, params: SystemParams, dcfg: DomainConfig,
+                state: State) -> State:
+    inv_m = params.inv_mass[state.typ]
+    move = _move_mask(system, state.typ, state.mask)
+    new_step = state.step + 1
+    x1, image1, v_tilde = initial_integrate(
+        state.x, state.v, state.f, state.image, state.box,
+        system.dt, system.lam, inv_m, move)
+    for fx in system.fixes:
+        if hasattr(fx, "post_integrate"):
+            x1, image1, v_tilde = fx.post_integrate(
+                system, params, state, x1, image1, v_tilde)
+    f_new, _ = _halo_forces(state, system, params, dcfg, new_step, x1,
+                            v_tilde)
+    f_new = _post_forces(system, params, state, x1, v_tilde, f_new)
+    v1 = final_integrate(state.v, state.f, f_new, system.dt, inv_m, move)
+    new_state = state.replace(x=x1, v=v1, f=f_new, image=image1,
+                              step=new_step)
+    for fx in system.fixes:
+        if hasattr(fx, "end_of_step"):
+            new_state = fx.end_of_step(system, params, new_state)
+    return new_state
+
+
+@partial(jax.jit, static_argnames=("system", "dcfg", "nchunks", "mesh"))
+def run_distributed(system: System, params: SystemParams, dstate: State,
+                    nchunks: int, mesh: Mesh, dcfg: DomainConfig):
+    """nchunks x (migrate + rebuild + rebuild_every steps) under shard_map.
+
+    ``dstate`` arrays carry a leading device axis sharded over the mesh.
+    Returns (dstate, diag) with diag per-chunk max overflow counters psum'd
+    across devices (checked invariants).
+    """
+
+    def shard_body(params, dstate):
+        state = jax.tree.map(lambda a: a[0], dstate)
+        me = jax.lax.axis_index(AXIS)
+        slab_lo = me.astype(jnp.float32) * dcfg.slab_w
+        slab_hi = slab_lo + dcfg.slab_w
+        side_x = dcfg.slab_w / dcfg.ncx_local
+
+        def chunk(state, _):
+            merged, of_mig = _migrate(state, dcfg, slab_lo, slab_hi)
+            state, of_cell = _rebuild_slab(merged, dcfg.cells, slab_lo,
+                                           side_x)
+
+            def body(s, _):
+                return _step_local(system, params, dcfg, s), None
+
+            state, _ = jax.lax.scan(body, state, None,
+                                    length=dcfg.rebuild_every)
+            of = jax.lax.psum(of_mig + of_cell, AXIS)
+            return state, {"overflow": of}
+
+        state, diag = jax.lax.scan(chunk, state, None, length=nchunks)
+        diag = {"overflow": jnp.max(diag["overflow"])[None]}
+        return jax.tree.map(lambda a: a[None], state), diag
+
+    return jax.shard_map(
+        shard_body, mesh=mesh, in_specs=(P(), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS)))(params, dstate)
+
+
+# ---------------------------------------------------------------------------
+# host-side distribute / collect
+# ---------------------------------------------------------------------------
+
+def build_domain(system: System, n_dev: int, cap_mig: int | None = None,
+                 rebuild_every: int | None = None,
+                 lx_global: float | None = None) -> DomainConfig:
+    g = system.cells
+    ncx, ny, nz = g.ncell
+    if ncx % n_dev:
+        raise ValueError(f"global ncx={ncx} not divisible by n_dev={n_dev}")
+    ncx_l = ncx // n_dev
+    if ncx_l < 3:
+        raise ValueError("slab too thin: need >= 3 cell columns per device")
+    local = CellConfig(ncell=(ncx_l, ny, nz), capacity=g.capacity,
+                       skin=g.skin, rebuild_every=g.rebuild_every)
+    if cap_mig is None:
+        cap_mig = max(64, (ny * nz * g.capacity) // 4)
+    return DomainConfig(n_dev=n_dev, cells=local,
+                        lx_global=float(lx_global),
+                        cap_mig=cap_mig,
+                        rebuild_every=rebuild_every or g.rebuild_every)
+
+
+def distribute_state(state: State, dcfg: DomainConfig) -> State:
+    """Host-side: split a global state into per-device slab-bucket states
+    stacked on a leading device axis (shard with P('x') on axis 0)."""
+    from meso_tpu.neighbor.bucket_layout import n_rows
+
+    n = dcfg.n_dev
+    nr_local = n_rows(dcfg.cells)
+    mask = np.asarray(state.mask)
+    x = np.asarray(state.x)
+    slab = np.clip((x[:, 0] / dcfg.slab_w).astype(int), 0, n - 1)
+    per_dev = []
+    for d in range(n):
+        sel = mask & (slab == d)
+        idx = np.where(sel)[0]
+        if len(idx) > nr_local:
+            raise ValueError(f"device {d}: {len(idx)} rows > {nr_local}")
+        local = zeros_state(nr_local, state.box,
+                            n_species=0 if state.C is None
+                            else state.C.shape[1],
+                            with_energy=state.T is not None)
+        pad = nr_local - len(idx)
+
+        def take(a, za):
+            if a is None:
+                return None
+            sel_a = np.asarray(a)[idx]
+            fill = np.zeros((pad,) + sel_a.shape[1:], sel_a.dtype)
+            return jnp.asarray(np.concatenate([sel_a, fill]))
+
+        local = local.replace(
+            x=take(state.x, local.x), v=take(state.v, local.v),
+            f=take(state.f, local.f), typ=take(state.typ, local.typ),
+            tag=take(state.tag, local.tag),
+            image=take(state.image, local.image),
+            mol=take(state.mol, local.mol),
+            mask=jnp.asarray(np.concatenate(
+                [np.ones(len(idx), bool), np.zeros(pad, bool)])),
+            step=state.step,
+            T=take(state.T, None), C=take(state.C, None))
+        # bucket-order the local rows in the slab frame
+        side_x = dcfg.slab_w / dcfg.ncx_local
+        local, of = jax.jit(_rebuild_slab, static_argnames=("cfg", "side_x"))(
+            local, dcfg.cells, jnp.float32(d * dcfg.slab_w), side_x)
+        if int(of):
+            raise ValueError(f"device {d}: bucket overflow {int(of)}")
+        per_dev.append(local)
+    return jax.tree.map(lambda *ls: jnp.stack(ls), *per_dev)
+
+
+_ROW_FIELDS = ["x", "v", "f", "typ", "tag", "image", "mask", "mol",
+               "T", "dTdt", "C", "dCdt"]
+
+
+def collect_state(dstate: State) -> State:
+    """Host-side: merge the per-device states back into one global state."""
+    kw = {}
+    for name in _ROW_FIELDS:
+        a = getattr(dstate, name)
+        if a is None:
+            kw[name] = None
+        else:
+            a = np.asarray(a)
+            kw[name] = jnp.asarray(a.reshape((-1,) + a.shape[2:]))
+    box = Box(lo=jnp.asarray(np.asarray(dstate.box.lo)[0]),
+              hi=jnp.asarray(np.asarray(dstate.box.hi)[0]))
+    step = jnp.asarray(np.asarray(dstate.step)[0])
+    return State(box=box, step=step, **kw)

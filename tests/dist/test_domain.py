@@ -1,0 +1,122 @@
+"""Distributed domain-decomposition tests on the 8-device CPU mesh
+(SURVEY.md §4 item 3: shard_map halo logic without a cluster; the
+decomposition-invariance analog of the reference's rank-invariance)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from meso_tpu.core.system import System, SystemParams, make_step
+from meso_tpu.neighbor.bucket_layout import rebuild_buckets, to_bucket_state
+from meso_tpu.parallel.domain import (build_domain, collect_state,
+                                      distribute_state, make_mesh_1d,
+                                      run_distributed)
+
+
+def _fluid(n_dev=4, rebuild_every=5, cols_per_dev=3):
+    """Orthorhombic box sized so ncx = 3*n_dev with cell side 1.2."""
+    from meso_tpu.core.box import Box
+    from meso_tpu.core.state import create_random
+    from meso_tpu.core.system import setup
+    from meso_tpu.ops.dpd import DPDParams
+
+    side, rc, skin = 1.2, 1.0, 0.2
+    lx = cols_per_dev * n_dev * side
+    lyz = 4 * side
+    density = 3.0
+    n = int(round(density * lx * lyz * lyz))
+    box = Box.orthorhombic(lx, lyz, lyz)
+    state = create_random(jax.random.PRNGKey(0), n, box, kt=1.0)
+    params = SystemParams.build(
+        DPDParams.build(a=25.0, gamma=4.5, rc=rc, kt=1.0, seed=928459))
+    system = System.for_fluid([lx, lyz, lyz], rc=rc, density=density,
+                              dt=0.01, skin=skin, rng_mode="fast",
+                              rebuild_every=rebuild_every)
+    system = system.replace(force_path="bucket")
+    state = setup(system, params, state)
+    dcfg = build_domain(system, n_dev, lx_global=lx,
+                        rebuild_every=rebuild_every)
+    return system, params, state, dcfg, lx
+
+
+def _bytag(state, fields=("x", "v")):
+    mask = np.asarray(state.mask)
+    tag = np.asarray(state.tag)[mask]
+    order = np.argsort(tag)
+    return {f: np.asarray(getattr(state, f))[mask][order] for f in fields}
+
+
+def test_distribute_collect_roundtrip():
+    system, params, state, dcfg, _ = _fluid()
+    dstate = distribute_state(state, dcfg)
+    back = collect_state(dstate)
+    a = _bytag(state)
+    b = _bytag(back)
+    assert (a["x"] == b["x"]).all()
+    assert (a["v"] == b["v"]).all()
+
+
+@pytest.mark.slow
+def test_distributed_matches_single_chip_short():
+    """15 steps on 4 devices == 15 steps single-chip bucket path (by tag,
+    summation-order tolerance). The counter-based RNG makes the physics
+    decomposition-invariant."""
+    system, params, state, dcfg, lx = _fluid(n_dev=4, rebuild_every=5)
+    mesh = make_mesh_1d(4)
+    dstate = distribute_state(state, dcfg)
+    dstate, diag = run_distributed(system, params, dstate, 3, mesh, dcfg)
+    assert int(np.max(np.asarray(diag["overflow"]))) == 0
+    got = _bytag(collect_state(dstate))
+
+    # single-chip reference: same fixed cadence on the bucket path
+    step_fn = make_step(system)
+
+    @jax.jit
+    def chunk(s):
+        s, of = rebuild_buckets(s, system.cells)
+        def body(c, _):
+            return step_fn(params, c), None
+        s, _ = jax.lax.scan(body, s, None, length=5)
+        return s, of
+
+    sref = state
+    for _ in range(3):
+        sref, of = chunk(sref)
+        assert int(of) == 0
+    want = _bytag(sref)
+
+    assert got["x"].shape == want["x"].shape
+    dx = np.abs(got["x"] - want["x"]).max()
+    dv = np.abs(got["v"] - want["v"]).max()
+    assert dx < 2e-4, dx
+    assert dv < 2e-3, dv
+
+
+@pytest.mark.slow
+def test_distributed_8dev_invariants_and_kt():
+    from meso_tpu.obs import kinetic_temperature, total_momentum
+
+    system, params, state, dcfg, lx = _fluid(n_dev=8, rebuild_every=5)
+    mesh = make_mesh_1d(8)
+    dstate = distribute_state(state, dcfg)
+    mass0 = params.mass[state.typ]
+    p0 = np.asarray(total_momentum(state.v, mass0, state.mask))
+    n0 = int(state.n_valid())
+
+    dstate, diag = run_distributed(system, params, dstate, 80, mesh, dcfg)
+    assert int(np.max(np.asarray(diag["overflow"]))) == 0
+    final = collect_state(dstate)
+    # no particle lost or duplicated through migration
+    assert int(final.n_valid()) == n0
+    tags = np.sort(np.asarray(final.tag)[np.asarray(final.mask)])
+    assert (tags == np.arange(1, n0 + 1)).all()
+
+    mass = params.mass[final.typ]
+    kt = float(kinetic_temperature(final.v, mass, final.mask))
+    assert abs(kt - 1.0) < 0.06  # single sample after 400 steps
+    p1 = np.asarray(total_momentum(final.v, mass, final.mask))
+    assert np.abs(p1 - p0).max() < 5e-2
+    # every particle is inside its owner's slab
+    x = np.asarray(final.x)[np.asarray(final.mask)]
+    assert (x >= 0).all() and (x[:, 0] < lx).all()

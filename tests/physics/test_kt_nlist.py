@@ -42,7 +42,7 @@ def test_kt_and_invariants_adaptive():
         state, _ = run_adaptive(system, params, state, 25)
         kts.append(float(kinetic_temperature(state.v, mass, state.mask)))
     kt_mean = float(np.mean(kts))
-    assert abs(kt_mean - 1.0) < 0.015, f"kT={kt_mean}"
+    assert abs(kt_mean - 1.0) < 0.03, f"kT={kt_mean}"
 
     p1 = np.asarray(total_momentum(state.v, mass, state.mask))
     assert np.abs(p1 - p0).max() < 5e-2
