@@ -5,9 +5,11 @@ fluid (rho=3, a=25, gamma=4.5, rc=1, dt=0.01), kinetic temperature within 1%
 of target. vs_baseline is measured against the BASELINE.json north-star of
 1e9 particle-steps/sec/chip.
 
-Runs on whatever jax.devices()[0] is (the real TPU chip under the driver).
-Env overrides: MESO_BENCH_L (box side, default 70 -> 1,029,000 particles),
-MESO_BENCH_STEPS, MESO_BENCH_PATH (nlist|pallas).
+Runs the fused pallas-path production loop (run_bucket_fixed) on
+jax.devices()[0] (the real TPU chip under the driver). Env overrides:
+MESO_BENCH_L (box side, default 70 -> 1,029,000 particles),
+MESO_BENCH_STEPS, MESO_BENCH_PATH (pallas|bucket|nlist),
+MESO_BENCH_SKIN, MESO_BENCH_REBUILD.
 """
 
 import json
@@ -22,30 +24,38 @@ import jax.numpy as jnp
 
 
 def main():
-    from meso_tpu.core.system import run
+    from meso_tpu.core.system import run_adaptive, run_bucket_fixed
     from meso_tpu.models.classic import classic_fluid
     from meso_tpu.obs import kinetic_temperature
 
     l = float(os.environ.get("MESO_BENCH_L", "70"))
-    path = os.environ.get("MESO_BENCH_PATH", "nlist")
-    rebuild_every = int(os.environ.get("MESO_BENCH_REBUILD", "10"))
-    nsteps = int(os.environ.get("MESO_BENCH_STEPS", "200"))
-    nchunks = max(nsteps // rebuild_every, 1)
+    path = os.environ.get("MESO_BENCH_PATH", "pallas")
+    skin = float(os.environ.get("MESO_BENCH_SKIN", "0.5"))
+    every = int(os.environ.get("MESO_BENCH_REBUILD", "3"))
+    nsteps = int(os.environ.get("MESO_BENCH_STEPS", "201"))
 
     system, params, state = classic_fluid(
-        l=l, rebuild_every=rebuild_every, rng_mode="fast", force_path=path)
-    n = state.n
+        l=l, rebuild_every=every, skin=skin, rng_mode="fast",
+        force_path=path)
+    n = int(state.n_valid())
+    fused = path in ("pallas", "bucket")
 
-    # equilibrate + warm the compile cache
-    state, _ = run(system, params, state, nchunks=max(100 // rebuild_every, 1))
+    def advance(s, steps):
+        if fused:
+            return run_bucket_fixed(system, params, s,
+                                    max(steps // every, 1), every)
+        return run_adaptive(system, params, s, steps)
+
+    # equilibrate (hot random start -> kT 1.0) + warm the compile cache
+    state, _ = advance(state, 399)
     jax.block_until_ready(state.x)
 
     t0 = time.perf_counter()
-    state, diags = run(system, params, state, nchunks=nchunks)
+    state, diag = advance(state, nsteps)
     jax.block_until_ready(state.x)
     dt_wall = time.perf_counter() - t0
 
-    steps = nchunks * rebuild_every
+    steps = (max(nsteps // every, 1) * every) if fused else nsteps
     ps_per_s = n * steps / dt_wall
     kt = float(kinetic_temperature(
         state.v, params.mass[state.typ], state.mask))
@@ -59,12 +69,13 @@ def main():
         "wall_s": round(dt_wall, 3),
         "kT": round(kt, 4),
         "kT_err": round(abs(kt - 1.0), 4),
-        "cell_overflow": int(jnp.sum(diags["cell_overflow"])),
-        "nlist_overflow": int(jnp.sum(diags["nlist_overflow"])),
-        "skin_violations": int(jnp.sum(diags["skin_violation"])),
         "force_path": path,
         "device": str(jax.devices()[0]),
     }
+    for key in ("bucket_overflow", "worst_skin_ratio", "cell_overflow",
+                "nlist_overflow", "n_rebuilds"):
+        if key in diag:
+            result[key] = round(float(jnp.max(jnp.asarray(diag[key]))), 3)
     print(json.dumps(result))
 
 

@@ -35,9 +35,10 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-_DELTA = jnp.uint32(0x9E3779B9)
-_K2 = jnp.uint32(0xC2B2AE35)
-_K3 = jnp.uint32(0x27D4EB2F)
+# python ints (not jnp constants) so Pallas kernels don't capture consts
+_DELTA = 0x9E3779B9
+_K2 = 0xC2B2AE35
+_K3 = 0x27D4EB2F
 # top 23 bits -> [0, 1): full float32 mantissa resolution, and int32-castable
 # (Mosaic TPU kernels support int32->f32 but not uint32->f32)
 _U23_TO_UNIT = 1.1920928955078125e-07  # 2^-23
@@ -56,9 +57,10 @@ def tea(v0: Array, v1: Array, k0: Array, k1: Array, rounds: int = 8):
     v0, v1, k0, k1 = _u32(v0), _u32(v1), _u32(k0), _u32(k1)
     s = jnp.uint32(0)
     for _ in range(rounds):
-        s = s + _DELTA
+        s = s + jnp.uint32(_DELTA)
         v0 = v0 + (((v1 << 4) + k0) ^ (v1 + s) ^ ((v1 >> 5) + k1))
-        v1 = v1 + (((v0 << 4) + _K2) ^ (v0 + s) ^ ((v0 >> 5) + _K3))
+        v1 = v1 + (((v0 << 4) + jnp.uint32(_K2)) ^ (v0 + s)
+                   ^ ((v0 >> 5) + jnp.uint32(_K3)))
     return v0, v1
 
 

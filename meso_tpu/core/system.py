@@ -110,13 +110,21 @@ def compute_forces(system: System, params: SystemParams, state: State,
     """Dispatch to the configured model + force path. Returns (f, aux dict);
     aux carries 'virial' and, per model, 'dTdt' / 'dCdt'."""
     if system.model == "edpd":
-        from meso_tpu.ops import edpd as edpd_mod
         if system.force_path == "dense":
-            f, dtdt, virial = edpd_mod.dense_forces_edpd(
+            from meso_tpu.ops.edpd import dense_forces_edpd as efn
+            f, dtdt, virial = efn(
                 x, v, t, state.typ, state.tag, state.mask, state.box, step,
                 params.pair, system.dt, rng_rounds=system.rng_rounds)
-        elif system.force_path in ("bucket", "pallas"):
-            f, dtdt, virial = edpd_mod.bucket_forces_edpd(
+        elif system.force_path == "bucket":
+            from meso_tpu.ops.edpd import bucket_forces_edpd as efn
+            f, dtdt, virial = efn(
+                x, v, t, state.typ, state.tag, state.mask, state.box, step,
+                params.pair, system.dt, system.cells,
+                rng_rounds=system.rng_rounds)
+        elif system.force_path == "pallas":
+            from meso_tpu.kernels.pair_multiphysics import \
+                bucket_forces_pallas_edpd as efn
+            f, dtdt, virial = efn(
                 x, v, t, state.typ, state.tag, state.mask, state.box, step,
                 params.pair, system.dt, system.cells,
                 rng_rounds=system.rng_rounds)
@@ -124,13 +132,21 @@ def compute_forces(system: System, params: SystemParams, state: State,
             raise ValueError(f"edpd does not support {system.force_path!r}")
         return f, {"virial": virial, "dTdt": dtdt}
     if system.model == "tdpd":
-        from meso_tpu.ops import tdpd as tdpd_mod
         if system.force_path == "dense":
-            f, dcdt, virial = tdpd_mod.dense_forces_tdpd(
+            from meso_tpu.ops.tdpd import dense_forces_tdpd as tfn
+            f, dcdt, virial = tfn(
                 x, v, c, state.typ, state.tag, state.mask, state.box, step,
                 params.pair, system.dt, rng_rounds=system.rng_rounds)
-        elif system.force_path in ("bucket", "pallas"):
-            f, dcdt, virial = tdpd_mod.bucket_forces_tdpd(
+        elif system.force_path == "bucket":
+            from meso_tpu.ops.tdpd import bucket_forces_tdpd as tfn
+            f, dcdt, virial = tfn(
+                x, v, c, state.typ, state.tag, state.mask, state.box, step,
+                params.pair, system.dt, system.cells,
+                rng_rounds=system.rng_rounds)
+        elif system.force_path == "pallas":
+            from meso_tpu.kernels.pair_multiphysics import \
+                bucket_forces_pallas_tdpd as tfn
+            f, dcdt, virial = tfn(
                 x, v, c, state.typ, state.tag, state.mask, state.box, step,
                 params.pair, system.dt, system.cells,
                 rng_rounds=system.rng_rounds)

@@ -4,26 +4,28 @@ TPU-native replacement of the reference's hottest CUDA kernel
 (``pair_dpd_meso.cu``, SURVEY.md §2b rows 20-21, §3.3). Design:
 
 * state rows are cell buckets (``neighbor/bucket_layout.py``): per-particle
-  channels reshape zero-copy to (ncy, ncz, K, ncx) planes; the kernel grid
-  is one (cy, cz) cell-row per step, processing all ncx cells of the row;
-* the 27-cell stencil = 9 neighbor (cy+dy, cz+dz) row blocks (the same HBM
-  array bound 9 times with shifted index maps over a wrap-padded input whose
-  halo copies carry pre-shifted y/z coordinates — the same trick the
-  multi-chip halo exchange uses) x 3 static lane-rolls for dx;
+  channels reshape zero-copy to (ncy, ncz, K, ncx) planes;
+* each grid step computes G consecutive z-rows of one cy-row; the 27-cell
+  stencil = 3 cy-BAND blocks of (G+2) z-rows x 3 static lane-rolls for dx.
+  The band overlap is materialized once per force eval at the XLA level
+  (cheap slice+stack) so every Pallas block has exact stride == size; halo
+  copies carry pre-shifted y/z coordinates — the same trick the multi-chip
+  halo exchange uses. Banding amortizes neighbor re-reads: VMEM traffic per
+  output row drops from 9 row-reads to 3(G+2)/G;
 * every tensor in the kernel is a 2-D tile: neighbors as (K_j, ncx) lane-
   rolled then lane-tiled to (K_j, K_s*ncx); self values as (1, K_s*ncx) read
-  through a SECOND alias of the same HBM planes with block shape
+  through a SECOND alias of the unpadded planes with block shape
   (.., 1, K*ncx) — Mosaic forbids lane-crossing reshapes in-kernel, so the
   two views are prepared at the XLA level where reshape is free;
 * per-pair math identical to ``ops/dpd.pair_force``: branch-free masking,
-  fused counter-based RNG (per-particle TEA hashes combined symmetrically
-  in-kernel, ~10 uint32 VPU ops/pair), register accumulation, ONE writer per
-  particle — the reference's atomics-free property holds by construction;
+  fused counter-based RNG, register accumulation, ONE writer per particle —
+  the reference's atomics-free property holds by construction;
 * no gather, no scatter, no atomics, no dynamic shapes anywhere.
 
-v1 restrictions (asserted at dispatch): single coefficient set (all type
-pairs share a/gamma/sigma/rc — true for every BASELINE config), s_exp=1,
-rng_mode="fast" (the "tea" tier runs via ops/bucket_dpd.py).
+Restrictions: single coefficient set (all type pairs share
+a/gamma/sigma/rc — true for every BASELINE config) and s_exp=1. Both RNG
+tiers run in-kernel: "fast" (combined per-particle hashes) and "tea"
+(full TEA-`rounds` on the sorted tag pair — reference parity, row 21).
 """
 
 from __future__ import annotations
@@ -51,124 +53,166 @@ def _lane_tile(p: Array, reps: int) -> Array:
     return jnp.concatenate([p] * reps, axis=1)
 
 
-def _kernel(*refs, k: int, nx: int):
-    """refs = [scal, self_alias, 9 x row refs, out_ref, rows_scratch].
+def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
+            rng_rounds: int, n_chan: int):
+    """refs = [scal, iscal, self, band(dy=0..2), out_ref, bands_scratch].
 
-    The 27-offset sweep runs as a fori_loop over the 9 (dy,dz) rows (staged
-    into one VMEM scratch so the loop can index them dynamically) with the 3
-    x-rolls unrolled inside — bounding live temporaries to one body instead
-    of 27 (scoped-VMEM stack limit is 16 MB).
+    fori_loop over (output z-row, dy band) pairs bounds live temporaries to
+    one body (scoped-VMEM stack limit is 16 MB).
     """
     scal_ref = refs[0]
-    selfref = refs[1]        # (8, 1, 1, K*nx) — flattened self view
-    rows = refs[2:11]        # 9 x (8, 1, K, nx), (dy,dz) row-major
-    out_ref = refs[11]
-    rows_s = refs[12]        # VMEM scratch (9, 8, K, nx)
+    iscal_ref = refs[1]      # SMEM (1, 2) int32: [step, seed]
+    selfref = refs[2]        # (n_chan, G, 1, K*nx)
+    bands = refs[3:6]        # 3 x (n_chan, G+2, K, nx)
+    out_ref = refs[6]
+    bands_s = refs[7]        # VMEM scratch (3, n_chan, G+2, K, nx)
     a = scal_ref[0, 0]
     gamma = scal_ref[0, 1]
     sigma = scal_ref[0, 2]
     rc = scal_ref[0, 3]
     dt_inv_sqrt = scal_ref[0, 4]
     lx = scal_ref[0, 5]
+    if rng_mode == "tea":
+        step_u = iscal_ref[0, 0].astype(jnp.uint32)
+        seed_u = iscal_ref[0, 1].astype(jnp.uint32)
 
-    for i, ref in enumerate(rows):
-        rows_s[i, :, :, :] = ref[:, 0, :, :]
+    for i, ref in enumerate(bands):
+        bands_s[i] = ref[...]
 
-    def selfchan(c):  # (1, K*nx)
-        return selfref[c, 0, :, :]
-
-    sxs = selfchan(_SX)
-    sys_ = selfchan(_SY)
-    szs = selfchan(_SZ)
-    vxs = selfchan(_VX)
-    vys = selfchan(_VY)
-    vzs = selfchan(_VZ)
-    hs = pltpu.bitcast(selfchan(_H), jnp.uint32)
-    vs = selfchan(_VALID)
-
-    # lane l = s*nx + c ; sublane = j  -> self-pair exclusion at (0,0,0)
+    # lane l = s*nx + c ; sublane = j  -> self-pair exclusion
     s_idx = jax.lax.broadcasted_iota(jnp.int32, (k, k * nx), 1) // nx
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (k, k * nx), 0)
     self_pair = j_idx == s_idx
 
-    def row_body(r9, acc):
-        fx, fy, fz, vir = acc
-        is_center = r9 == 4  # traced
+    def body(it, _):
+        grow = it // 3       # output z-row 0..G-1
+        dy = it % 3          # band index 0..2
 
-        def chan(c):
-            return rows_s[r9, c, :, :]  # (K, nx), dynamic leading index
+        def selfchan(c):  # (1, K*nx)
+            return selfref[c, grow, :, :]
 
-        for dx in (-1, 0, 1):
-            def nb(p):  # (K, nx) -> (K_j, K_s*nx)
-                r = pltpu.roll(p, (-dx) % nx, 1) if dx else p
-                return _lane_tile(r, k)
+        sxs = selfchan(_SX)
+        sys_ = selfchan(_SY)
+        szs = selfchan(_SZ)
+        vxs = selfchan(_VX)
+        vys = selfchan(_VY)
+        vzs = selfchan(_VZ)
+        hs = pltpu.bitcast(selfchan(_H), jnp.uint32)
+        vs = selfchan(_VALID)
+        if rng_mode == "tea":
+            tgs = pltpu.bitcast(selfchan(8), jnp.int32)
 
-            drx = sxs - nb(chan(_SX))
-            # x-wrap minimum image (y/z handled by shifted halo coords)
-            drx = drx - jnp.round(drx / lx) * lx
-            dry = sys_ - nb(chan(_SY))
-            drz = szs - nb(chan(_SZ))
-            r2 = drx * drx + dry * dry + drz * drz
-            ok = (r2 < rc * rc) & (r2 > 0.0)
-            ok = ok & (nb(chan(_VALID)) * vs > 0.5)
-            if dx == 0:
-                ok = ok & ~(self_pair & is_center)
-            r2s = jnp.where(ok, r2, 1.0)
-            rinv = jax.lax.rsqrt(r2s)
-            r = r2s * rinv
-            w = 1.0 - r / rc
-            dvx = vxs - nb(chan(_VX))
-            dvy = vys - nb(chan(_VY))
-            dvz = vzs - nb(chan(_VZ))
-            ev = (drx * dvx + dry * dvy + drz * dvz) * rinv
-            hj = pltpu.bitcast(nb(chan(_H)), jnp.uint32)
-            theta = rngmod.pair_uniform_fast(hs, hj)
-            fmag = (a * w - gamma * (w * w) * ev
-                    + sigma * w * theta * dt_inv_sqrt)
-            fmag = jnp.where(ok, fmag, 0.0)
-            fr = fmag * rinv
-            fx = fx + jnp.sum(fr * drx, axis=0, keepdims=True)
-            fy = fy + jnp.sum(fr * dry, axis=0, keepdims=True)
-            fz = fz + jnp.sum(fr * drz, axis=0, keepdims=True)
-            vir = vir + jnp.sum(0.5 * fmag * r, axis=0, keepdims=True)
-        return (fx, fy, fz, vir)
+        fx = jnp.zeros((1, k * nx), jnp.float32)
+        fy = jnp.zeros((1, k * nx), jnp.float32)
+        fz = jnp.zeros((1, k * nx), jnp.float32)
+        vir = jnp.zeros((1, k * nx), jnp.float32)
+        is_center_band = dy == 1
 
-    zero = jnp.zeros((1, k * nx), jnp.float32)
-    fx, fy, fz, vir = jax.lax.fori_loop(
-        0, 9, row_body, (zero, zero, zero, zero))
+        for dz in (0, 1, 2):
+            def chan(c):  # (K, nx)
+                return bands_s[dy, c, grow + dz, :, :]
 
-    out_ref[0, 0, :, :] = fx
-    out_ref[1, 0, :, :] = fy
-    out_ref[2, 0, :, :] = fz
-    out_ref[3, 0, :, :] = vir
+            is_center_row = is_center_band & (dz == 1)
+            for dx in (-1, 0, 1):
+                def nb(p):
+                    r = pltpu.roll(p, (-dx) % nx, 1) if dx else p
+                    return _lane_tile(r, k)
+
+                drx = sxs - nb(chan(_SX))
+                # x-wrap minimum image (y/z use shifted halo coords)
+                drx = drx - jnp.round(drx / lx) * lx
+                dry = sys_ - nb(chan(_SY))
+                drz = szs - nb(chan(_SZ))
+                r2 = drx * drx + dry * dry + drz * drz
+                ok = (r2 < rc * rc) & (r2 > 0.0)
+                ok = ok & (nb(chan(_VALID)) * vs > 0.5)
+                if dx == 0:
+                    ok = ok & ~(self_pair & is_center_row)
+                r2s = jnp.where(ok, r2, 1.0)
+                rinv = jax.lax.rsqrt(r2s)
+                r = r2s * rinv
+                w = 1.0 - r / rc
+                dvx = vxs - nb(chan(_VX))
+                dvy = vys - nb(chan(_VY))
+                dvz = vzs - nb(chan(_VZ))
+                ev = (drx * dvx + dry * dvy + drz * dvz) * rinv
+                if rng_mode == "tea":
+                    tgj = pltpu.bitcast(nb(chan(8)), jnp.int32)
+                    lo = jnp.minimum(tgs, tgj).astype(jnp.uint32)
+                    hi = jnp.maximum(tgs, tgj).astype(jnp.uint32)
+                    v0, _ = rngmod.tea(lo, hi, step_u, seed_u,
+                                       rounds=rng_rounds)
+                    theta = rngmod._u32_to_symmetric_uniform(v0)
+                else:
+                    hj = pltpu.bitcast(nb(chan(_H)), jnp.uint32)
+                    theta = rngmod.pair_uniform_fast(hs, hj)
+                fmag = (a * w - gamma * (w * w) * ev
+                        + sigma * w * theta * dt_inv_sqrt)
+                fmag = jnp.where(ok, fmag, 0.0)
+                fr = fmag * rinv
+                fx = fx + jnp.sum(fr * drx, axis=0, keepdims=True)
+                fy = fy + jnp.sum(fr * dry, axis=0, keepdims=True)
+                fz = fz + jnp.sum(fr * drz, axis=0, keepdims=True)
+                vir = vir + jnp.sum(0.5 * fmag * r, axis=0, keepdims=True)
+
+        # accumulate into the output row (first band writes, rest add)
+        @pl.when(dy == 0)
+        def _():
+            out_ref[0, grow, :, :] = fx
+            out_ref[1, grow, :, :] = fy
+            out_ref[2, grow, :, :] = fz
+            out_ref[3, grow, :, :] = vir
+
+        @pl.when(dy != 0)
+        def _():
+            out_ref[0, grow, :, :] += fx
+            out_ref[1, grow, :, :] += fy
+            out_ref[2, grow, :, :] += fz
+            out_ref[3, grow, :, :] += vir
+        return 0
+
+    jax.lax.fori_loop(0, 3 * g, body, 0)
 
 
 @partial(jax.jit, static_argnames=("dt", "cfg", "rng_mode", "rng_rounds",
-                                   "interpret"))
+                                   "interpret", "rows_per_step"))
 def bucket_forces_pallas(x: Array, v: Array, typ: Array, tag: Array,
                          mask: Array, box: Box, step: Array,
                          params: DPDParams, dt: float, cfg: CellConfig,
                          rng_mode: str = "fast", rng_rounds: int = 8,
-                         interpret: bool = False):
+                         interpret: bool = False, rows_per_step: int = 0):
     """Forces for bucket-resident rows via the Pallas kernel.
 
     Returns (f (nr,3), virial scalar). Interface matches
     ``ops.bucket_dpd.bucket_forces_xla`` (its bit-reference).
+    ``rows_per_step``: output z-rows per grid step (0 = auto: the largest
+    divisor of ncz up to 8).
     """
-    if rng_mode != "fast":
-        raise NotImplementedError("pallas path: rng_mode='fast' only (v1)")
     nx, ny, nz = cfg.ncell
     k = cfg.capacity
     nr = x.shape[0]
+    g = rows_per_step
+    if g <= 0:
+        g = max(d for d in range(1, min(nz, 8) + 1) if nz % d == 0)
+    if nz % g:
+        raise ValueError(f"rows_per_step={g} must divide ncz={nz}")
+    nzg = nz // g
 
     h = rngmod.particle_hash(tag, step, params.seed, rounds=rng_rounds)
     shape = (ny, nz, k, nx)
-    planes = jnp.stack([
+    chans = [
         x[:, 0].reshape(shape), x[:, 1].reshape(shape), x[:, 2].reshape(shape),
         v[:, 0].reshape(shape), v[:, 1].reshape(shape), v[:, 2].reshape(shape),
         jax.lax.bitcast_convert_type(h, jnp.float32).reshape(shape),
         mask.astype(jnp.float32).reshape(shape),
-    ])  # (8, ny, nz, k, nx)
+    ]
+    if rng_mode == "tea":
+        chans.append(
+            jax.lax.bitcast_convert_type(tag, jnp.float32).reshape(shape))
+    elif rng_mode != "fast":
+        raise ValueError(f"unknown rng_mode {rng_mode!r}")
+    n_chan = len(chans)
+    planes = jnp.stack(chans)  # (n_chan, ny, nz, k, nx)
 
     # wrap halos along cy/cz with pre-shifted coordinates
     padded = jnp.pad(planes, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)),
@@ -177,43 +221,54 @@ def bucket_forces_pallas(x: Array, v: Array, typ: Array, tag: Array,
     lz = box.lengths[2]
     padded = padded.at[_SY, 0].add(-ly).at[_SY, -1].add(ly)
     padded = padded.at[_SZ, :, 0].add(-lz).at[_SZ, :, -1].add(lz)
-    # two aliases of the same data: row view and lane-flattened self view
-    rows_view = padded.reshape(8, (ny + 2) * (nz + 2), k, nx)
-    self_view = padded.reshape(8, (ny + 2) * (nz + 2), 1, k * nx)
+
+    # materialize the z-band overlap so Pallas blocks have stride == size:
+    # bands_mat[c, cyp, czb] = padded[c, cyp, czb*g : czb*g + g + 2]
+    bands_mat = jnp.stack(
+        [padded[:, :, czb * g:czb * g + g + 2] for czb in range(nzg)],
+        axis=2)  # (n_chan, ny+2, nzg, g+2, k, nx)
+    bands_view = bands_mat.reshape(n_chan, (ny + 2) * nzg * (g + 2), k, nx)
+    # self values from the UNPADDED planes, lane-flattened
+    self_view = planes.reshape(n_chan, ny * nz, 1, k * nx)
 
     scal = jnp.stack([params.a[0, 0], params.gamma[0, 0], params.sigma[0, 0],
                       params.rc[0, 0],
                       jnp.float32(1.0 / jnp.sqrt(dt)),
                       box.lengths[0], jnp.float32(0), jnp.float32(0)]
                      ).reshape(1, 8)
+    iscal = jnp.stack([jnp.asarray(step, jnp.int32),
+                       params.seed.astype(jnp.int32)]).reshape(1, 2)
 
-    def row_spec(dy, dz):
+    def band_spec(dy):
+        # block dim1 covers one (g+2)-row band; bands are consecutive in
+        # bands_view, so block index == band linear index (exact stride)
         return pl.BlockSpec(
-            (8, 1, k, nx),
-            index_map=lambda cy, cz: (0, (cy + dy) * (nz + 2) + (cz + dz), 0, 0),
+            (n_chan, g + 2, k, nx),
+            index_map=lambda cy, czb: (0, (cy + dy) * nzg + czb, 0, 0),
             memory_space=pltpu.VMEM)
 
     in_specs = [
-        pl.BlockSpec((1, 8), lambda cy, cz: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((8, 1, 1, k * nx),
-                     index_map=lambda cy, cz: (
-                         0, (cy + 1) * (nz + 2) + (cz + 1), 0, 0),
+        pl.BlockSpec((1, 8), lambda cy, czb: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2), lambda cy, czb: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((n_chan, g, 1, k * nx),
+                     index_map=lambda cy, czb: (0, cy * nzg + czb, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    in_specs += [row_spec(dy, dz) for dy in (0, 1, 2) for dz in (0, 1, 2)]
+    in_specs += [band_spec(dy) for dy in (0, 1, 2)]
 
     out = pl.pallas_call(
-        partial(_kernel, k=k, nx=nx),
-        grid=(ny, nz),
+        partial(_kernel, k=k, nx=nx, g=g, rng_mode=rng_mode,
+                rng_rounds=rng_rounds, n_chan=n_chan),
+        grid=(ny, nzg),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (4, 1, 1, k * nx),
-            index_map=lambda cy, cz: (0, cy * nz + cz, 0, 0),
+            (4, g, 1, k * nx),
+            index_map=lambda cy, czb: (0, cy * nzg + czb, 0, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, ny * nz, 1, k * nx), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((9, 8, k, nx), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((3, n_chan, g + 2, k, nx), jnp.float32)],
         interpret=interpret,
-    )(scal, self_view, *([rows_view] * 9))
+    )(scal, iscal, self_view, *[bands_view] * 3)
 
     out = out.reshape(4, ny, nz, k, nx)
     f = jnp.stack([out[0].reshape(nr), out[1].reshape(nr),

@@ -95,9 +95,10 @@ def test_bucket_physics_short():
     assert np.abs(xb - xd).max() < 1e-4
 
 
-def test_pallas_kernel_matches_xla_interpret():
+@pytest.mark.parametrize("rng_mode", ["fast", "tea"])
+def test_pallas_kernel_matches_xla_interpret(rng_mode):
     """Pallas kernel (interpret mode) vs the XLA bucket path: same traversal,
-    same math, roundoff-level agreement."""
+    same math (both RNG tiers in-kernel), roundoff-level agreement."""
     from meso_tpu.kernels.pair_dpd import bucket_forces_pallas
     box, st, cfg, params = _sys()
     bst = to_bucket_state(st, cfg)
@@ -105,10 +106,10 @@ def test_pallas_kernel_matches_xla_interpret():
     f_x, vir_x = jax.jit(
         bucket_forces_xla, static_argnames=("dt", "cfg", "rng_mode"))(
         bst.x, bst.v, bst.typ, bst.tag, bst.mask, box, step, params, 0.01,
-        cfg, rng_mode="fast")
+        cfg, rng_mode=rng_mode)
     f_p, vir_p = bucket_forces_pallas(
         bst.x, bst.v, bst.typ, bst.tag, bst.mask, box, step, params, 0.01,
-        cfg, interpret=True)
+        cfg, rng_mode=rng_mode, interpret=True)
     m = np.asarray(bst.mask)
     scale = np.abs(np.asarray(f_x)).max()
     assert np.abs(np.asarray(f_p)[m] - np.asarray(f_x)[m]).max() / scale < 1e-5

@@ -1,0 +1,118 @@
+"""eDPD/tDPD structured bucket paths vs their dense oracles
+(SURVEY.md §4 implication 1 for the transport variants)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from meso_tpu.core.box import Box
+from meso_tpu.core.state import create_random
+from meso_tpu.neighbor.bucket_layout import to_bucket_state
+from meso_tpu.neighbor.cells import CellConfig
+from meso_tpu.ops.edpd import EDPDParams, bucket_forces_edpd, dense_forces_edpd
+from meso_tpu.ops.tdpd import TDPDParams, bucket_forces_tdpd, dense_forces_tdpd
+
+
+def _sys(n=500, l=5.0, seed=9, n_species=0, with_energy=False):
+    box = Box.cubic(l)
+    st = create_random(jax.random.PRNGKey(seed), n, box, kt=1.0,
+                       n_species=n_species, with_energy=with_energy)
+    cfg = CellConfig.for_box([l] * 3, rc=1.0, density=n / l**3, skin=0.3)
+    return box, st, cfg
+
+
+def test_edpd_bucket_matches_dense():
+    box, st, cfg = _sys(with_energy=True)
+    st = st.replace(T=1.0 + 0.3 * jnp.sin(st.x[:, 0]))
+    params = EDPDParams.build(a=25.0, gamma=4.5, rc=1.0, kappa=1.5, cv=10.0,
+                              seed=7)
+    bst = to_bucket_state(st, cfg)
+    step = jnp.int32(12)
+    f_d, q_d, v_d = dense_forces_edpd(bst.x, bst.v, bst.T, bst.typ, bst.tag,
+                                      bst.mask, box, step, params, 0.01)
+    f_b, q_b, v_b = jax.jit(
+        bucket_forces_edpd, static_argnames=("dt", "cfg"))(
+        bst.x, bst.v, bst.T, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg)
+    m = np.asarray(bst.mask)
+    fs = np.abs(np.asarray(f_d)).max()
+    assert np.abs(np.asarray(f_b)[m] - np.asarray(f_d)[m]).max() / fs < 2e-6
+    qs = max(np.abs(np.asarray(q_d)).max(), 1e-9)
+    assert np.abs(np.asarray(q_b)[m] - np.asarray(q_d)[m]).max() / qs < 2e-5
+    assert abs(float(v_b) - float(v_d)) / abs(float(v_d)) < 1e-5
+    # padding rows inert
+    assert np.abs(np.asarray(f_b)[~m]).max() == 0.0
+    assert np.abs(np.asarray(q_b)[~m]).max() == 0.0
+
+
+def test_tdpd_bucket_matches_dense():
+    box, st, cfg = _sys(n_species=2)
+    c0 = jnp.stack([1.0 + 0.5 * jnp.cos(st.x[:, 0]),
+                    0.5 + 0.2 * jnp.sin(st.x[:, 1])], -1)
+    st = st.replace(C=c0)
+    params = TDPDParams.build(a=25.0, gamma=4.5, rc=1.0, kt=1.0,
+                              kappa_c=[1.0, 2.0], eps_c=[0.1, 0.0],
+                              rcc=1.0, seed=5)
+    bst = to_bucket_state(st, cfg)
+    step = jnp.int32(4)
+    f_d, q_d, v_d = dense_forces_tdpd(bst.x, bst.v, bst.C, bst.typ, bst.tag,
+                                      bst.mask, box, step, params, 0.01)
+    f_b, q_b, v_b = jax.jit(
+        bucket_forces_tdpd, static_argnames=("dt", "cfg"))(
+        bst.x, bst.v, bst.C, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg)
+    m = np.asarray(bst.mask)
+    fs = np.abs(np.asarray(f_d)).max()
+    assert np.abs(np.asarray(f_b)[m] - np.asarray(f_d)[m]).max() / fs < 2e-6
+    qs = np.abs(np.asarray(q_d)).max()
+    assert np.abs(np.asarray(q_b)[m] - np.asarray(q_d)[m]).max() / qs < 2e-5
+    assert abs(float(v_b) - float(v_d)) / abs(float(v_d)) < 1e-5
+
+
+def test_edpd_pallas_matches_bucket_interpret():
+    from meso_tpu.kernels.pair_multiphysics import bucket_forces_pallas_edpd
+    box, st, cfg = _sys(with_energy=True)
+    st = st.replace(T=1.0 + 0.3 * jnp.sin(st.x[:, 0]))
+    params = EDPDParams.build(a=25.0, gamma=4.5, rc=1.0, kappa=1.5, cv=10.0,
+                              seed=7)
+    bst = to_bucket_state(st, cfg)
+    step = jnp.int32(12)
+    f_x, q_x, v_x = jax.jit(
+        bucket_forces_edpd, static_argnames=("dt", "cfg"))(
+        bst.x, bst.v, bst.T, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg)
+    f_p, q_p, v_p = bucket_forces_pallas_edpd(
+        bst.x, bst.v, bst.T, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg, interpret=True)
+    m = np.asarray(bst.mask)
+    fs = np.abs(np.asarray(f_x)).max()
+    assert np.abs(np.asarray(f_p)[m] - np.asarray(f_x)[m]).max() / fs < 1e-5
+    qs = max(np.abs(np.asarray(q_x)).max(), 1e-9)
+    assert np.abs(np.asarray(q_p)[m] - np.asarray(q_x)[m]).max() / qs < 1e-4
+    assert abs(float(v_p) - float(v_x)) / abs(float(v_x)) < 1e-5
+
+
+def test_tdpd_pallas_matches_bucket_interpret():
+    from meso_tpu.kernels.pair_multiphysics import bucket_forces_pallas_tdpd
+    box, st, cfg = _sys(n_species=2)
+    c0 = jnp.stack([1.0 + 0.5 * jnp.cos(st.x[:, 0]),
+                    0.5 + 0.2 * jnp.sin(st.x[:, 1])], -1)
+    st = st.replace(C=c0)
+    params = TDPDParams.build(a=25.0, gamma=4.5, rc=1.0, kt=1.0,
+                              kappa_c=[1.0, 2.0], eps_c=[0.1, 0.0],
+                              rcc=1.0, seed=5)
+    bst = to_bucket_state(st, cfg)
+    step = jnp.int32(4)
+    f_x, q_x, v_x = jax.jit(
+        bucket_forces_tdpd, static_argnames=("dt", "cfg"))(
+        bst.x, bst.v, bst.C, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg)
+    f_p, q_p, v_p = bucket_forces_pallas_tdpd(
+        bst.x, bst.v, bst.C, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg, interpret=True)
+    m = np.asarray(bst.mask)
+    fs = np.abs(np.asarray(f_x)).max()
+    assert np.abs(np.asarray(f_p)[m] - np.asarray(f_x)[m]).max() / fs < 1e-5
+    qs = np.abs(np.asarray(q_x)).max()
+    assert np.abs(np.asarray(q_p)[m] - np.asarray(q_x)[m]).max() / qs < 1e-4
+    assert abs(float(v_p) - float(v_x)) / abs(float(v_x)) < 1e-5

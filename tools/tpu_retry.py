@@ -1,10 +1,13 @@
-"""Run a TPU script with worker-health retry.
+"""Run a TPU script with worker-health retry and hang watchdog.
 
 The axon remote TPU worker can crash/restart after a failed Mosaic compile;
-the next program then fails with UNAVAILABLE until the worker is back.
-Usage: python tools/tpu_retry.py <script.py> [args...] — retries the script
-(fresh interpreter) with backoff while the failure is the UNAVAILABLE
-worker-restart signature.
+the next program then fails with UNAVAILABLE — or hangs — until the worker
+is back. Usage:
+
+    python tools/tpu_retry.py [--timeout SEC] <script.py> [args...]
+
+Retries the script (fresh interpreter) with backoff on nonzero exit or on
+hitting the per-attempt timeout.
 """
 
 import subprocess
@@ -15,14 +18,23 @@ MAX_TRIES = 5
 
 
 def main():
-    script = sys.argv[1]
-    args = sys.argv[2:]
+    args = sys.argv[1:]
+    timeout = 900.0
+    if args and args[0] == "--timeout":
+        timeout = float(args[1])
+        args = args[2:]
+    script, rest = args[0], args[1:]
     for attempt in range(1, MAX_TRIES + 1):
-        p = subprocess.run([sys.executable, "-u", script, *args])
-        if p.returncode == 0:
-            return 0
-        print(f"[tpu_retry] attempt {attempt} exited rc={p.returncode}; "
-              f"waiting for worker...", file=sys.stderr, flush=True)
+        try:
+            p = subprocess.run([sys.executable, "-u", script, *rest],
+                               timeout=timeout)
+            if p.returncode == 0:
+                return 0
+            why = f"rc={p.returncode}"
+        except subprocess.TimeoutExpired:
+            why = f"hang>{timeout:.0f}s"
+        print(f"[tpu_retry] attempt {attempt} failed ({why}); backing off",
+              file=sys.stderr, flush=True)
         time.sleep(60 * attempt)
     return 1
 
