@@ -24,13 +24,13 @@ import jax.numpy as jnp
 
 
 def main():
-    from meso_tpu.core.system import run_adaptive, run_bucket_fixed
+    from meso_tpu.core.system import run_adaptive, run_bucket_chunked
     from meso_tpu.models.classic import classic_fluid
     from meso_tpu.obs import kinetic_temperature
 
     l = float(os.environ.get("MESO_BENCH_L", "70"))
     path = os.environ.get("MESO_BENCH_PATH", "pallas")
-    skin = float(os.environ.get("MESO_BENCH_SKIN", "0.5"))
+    skin = float(os.environ.get("MESO_BENCH_SKIN", "0.4"))
     every = int(os.environ.get("MESO_BENCH_REBUILD", "3"))
     nsteps = int(os.environ.get("MESO_BENCH_STEPS", "201"))
 
@@ -42,8 +42,8 @@ def main():
 
     def advance(s, steps):
         if fused:
-            return run_bucket_fixed(system, params, s,
-                                    max(steps // every, 1), every)
+            return run_bucket_chunked(system, params, s,
+                                      max(steps // every, 1), every)
         return run_adaptive(system, params, s, steps)
 
     # equilibrate (hot random start -> kT 1.0) + warm the compile cache

@@ -440,3 +440,39 @@ def run_bucket_fixed(system: System, params: SystemParams, state: State,
     (state, of_max, worst), _ = jax.lax.scan(chunk, carry, None,
                                              length=nchunks)
     return state, {"bucket_overflow": of_max, "worst_skin_ratio": worst}
+
+
+@partial(jax.jit, static_argnames=("system", "steps_per_chunk"))
+def _bucket_chunk(system: System, params: SystemParams, state: State,
+                  steps_per_chunk: int):
+    """One (rebuild + steps) chunk — the body of the host-chunked loop."""
+    from meso_tpu.neighbor.bucket_layout import rebuild_buckets
+
+    step_fn = make_step(system)
+    state, of = rebuild_buckets(state, system.cells)
+    x_ref = state.x
+
+    def body(s, _):
+        return step_fn(params, s), None
+
+    state, _ = jax.lax.scan(body, state, None, length=steps_per_chunk)
+    disp = jnp.sqrt(max_displacement_sq(state.x, x_ref, state.mask,
+                                        state.box))
+    return state, of, disp
+
+
+def run_bucket_chunked(system: System, params: SystemParams, state: State,
+                       nchunks: int, steps_per_chunk: int):
+    """Host loop over jitted (rebuild + steps) chunks — the production/bench
+    loop on the axon backend, where an outer lax.scan carries a large
+    per-iteration penalty (PERF_NOTES.md) but per-call dispatch is ~40 us.
+    Semantics identical to ``run_bucket_fixed``."""
+    half_skin = float(system.cells.skin * 0.5)
+    ofs, disps = [], []
+    for _ in range(nchunks):
+        state, of, disp = _bucket_chunk(system, params, state,
+                                        steps_per_chunk)
+        ofs.append(of)      # device scalars; no host sync inside the loop
+        disps.append(disp)
+    return state, {"bucket_overflow": jnp.max(jnp.stack(ofs)),
+                   "worst_skin_ratio": jnp.max(jnp.stack(disps)) / half_skin}

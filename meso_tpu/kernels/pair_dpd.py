@@ -85,8 +85,12 @@ def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
     self_pair = j_idx == s_idx
 
     def body(it, _):
-        grow = it // 3       # output z-row 0..G-1
-        dy = it % 3          # band index 0..2
+        # fori over (z-row, dy band, dz row): keeps only the 3 dx-unrolled
+        # bodies' temporaries live at once (scoped-VMEM stack limit: Mosaic
+        # does not reuse buffers across unrolled iterations)
+        grow = it // 9       # output z-row 0..G-1
+        dy = (it % 9) // 3   # band index 0..2
+        dz = it % 3          # row within the band window
 
         def selfchan(c):  # (1, K*nx)
             return selfref[c, grow, :, :]
@@ -106,13 +110,12 @@ def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
         fy = jnp.zeros((1, k * nx), jnp.float32)
         fz = jnp.zeros((1, k * nx), jnp.float32)
         vir = jnp.zeros((1, k * nx), jnp.float32)
-        is_center_band = dy == 1
+        is_center_row = (dy == 1) & (dz == 1)
 
-        for dz in (0, 1, 2):
-            def chan(c):  # (K, nx)
-                return bands_s[dy, c, grow + dz, :, :]
+        def chan(c):  # (K, nx)
+            return bands_s[dy, c, grow + dz, :, :]
 
-            is_center_row = is_center_band & (dz == 1)
+        if True:
             for dx in (-1, 0, 1):
                 def nb(p):
                     r = pltpu.roll(p, (-dx) % nx, 1) if dx else p
@@ -155,15 +158,17 @@ def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
                 fz = fz + jnp.sum(fr * drz, axis=0, keepdims=True)
                 vir = vir + jnp.sum(0.5 * fmag * r, axis=0, keepdims=True)
 
-        # accumulate into the output row (first band writes, rest add)
-        @pl.when(dy == 0)
+        # accumulate into the output row (first visit writes, rest add)
+        first = (it % 9) == 0
+
+        @pl.when(first)
         def _():
             out_ref[0, grow, :, :] = fx
             out_ref[1, grow, :, :] = fy
             out_ref[2, grow, :, :] = fz
             out_ref[3, grow, :, :] = vir
 
-        @pl.when(dy != 0)
+        @pl.when(jnp.logical_not(first))
         def _():
             out_ref[0, grow, :, :] += fx
             out_ref[1, grow, :, :] += fy
@@ -171,7 +176,7 @@ def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
             out_ref[3, grow, :, :] += vir
         return 0
 
-    jax.lax.fori_loop(0, 3 * g, body, 0)
+    jax.lax.fori_loop(0, 9 * g, body, 0)
 
 
 @partial(jax.jit, static_argnames=("dt", "cfg", "rng_mode", "rng_rounds",

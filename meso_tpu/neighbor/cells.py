@@ -67,8 +67,10 @@ class CellConfig:
         if capacity is None:
             side = l / ncell
             mean_occ = density * float(np.prod(side))
-            # Poisson tail headroom: mean + 6*sqrt(mean) + 4, rounded up to 4
-            cap = int(np.ceil(mean_occ + 6.0 * np.sqrt(mean_occ) + 4.0))
+            # Poisson tail headroom: mean + 5*sqrt(mean) + 2 (P(overflow)
+            # ~ 1e-9/cell at the densities used; overflow counters verify),
+            # rounded up to a multiple of 4 (fp32 sublane alignment)
+            cap = int(np.ceil(mean_occ + 5.0 * np.sqrt(mean_occ) + 2.0))
             capacity = ((cap + 3) // 4) * 4
         return CellConfig(ncell=tuple(int(v) for v in ncell),
                           capacity=capacity, skin=skin,
