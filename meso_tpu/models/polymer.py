@@ -120,12 +120,28 @@ def icosphere(subdiv: int = 1):
     return verts, faces
 
 
+def build_hinges(faces) -> np.ndarray:
+    """(NH, 4) hinge quadruples (a, b, c, d): triangles (a,b,c) and (b,a,d)
+    share edge ab; c/d are the opposite vertices. 0-based vertex indices."""
+    edge_map = {}
+    hinges = []
+    for f, (i, j, k) in enumerate(faces):
+        for (a, b, opp) in ((i, j, k), (j, k, i), (k, i, j)):
+            key = (min(a, b), max(a, b))
+            if key in edge_map:
+                a0, b0, c0 = edge_map.pop(key)
+                hinges.append((a0, b0, c0, opp))
+            else:
+                edge_map[key] = (a, b, opp)
+    return np.asarray(hinges, np.int64)
+
+
 def membrane_suspension(l: float = 12.0, density: float = 3.0,
                         radius: float = 3.0, subdiv: int = 2,
                         kt: float = 1.0, a: float = 25.0, gamma: float = 4.5,
                         rc: float = 1.0, dt: float = 0.01,
                         kbt_p: float = 50.0, k_p: float = 0.2, m_pow: float = 2.0,
-                        ka: float = 500.0, kv: float = 500.0,
+                        ka: float = 500.0, kv: float = 500.0, kb: float = 20.0,
                         seed: int = 661, init_seed: int = 6,
                         force_path: str = "nlist", rng_mode: str = "fast",
                         skin: float = 0.3):
@@ -175,13 +191,25 @@ def membrane_suspension(l: float = 12.0, density: float = 3.0,
     area0 = float(0.5 * np.linalg.norm(cr, axis=1).sum())
     vol0 = float(np.abs((p[faces[:, 0]] * cr).sum() / 6.0))
 
+    # bending hinges with the icosphere's rest dihedral as theta0
+    hinges = build_hinges(faces)
+    ha, hb, hc, hd = (x_mem[hinges[:, 0]], x_mem[hinges[:, 1]],
+                      x_mem[hinges[:, 2]], x_mem[hinges[:, 3]])
+    n1 = np.cross(hb - ha, hc - ha)
+    n2 = np.cross(hd - ha, hb - ha)
+    cos0 = (n1 * n2).sum(1) / np.sqrt((n1 * n1).sum(1) * (n2 * n2).sum(1))
+    theta0 = np.arccos(np.clip(cos0, -1, 1))
+    hinge_coeffs = np.stack([np.full(len(hinges), kb), theta0], 1)
+
     bonded = BondedParams(
         bond_tags=jnp.asarray(edges),
         bond_type=jnp.zeros(len(edges), jnp.int32),
         bond_coeffs=jnp.asarray([[kbt_p, l_max, k_p, m_pow]], jnp.float32),
         tri_tags=jnp.asarray(faces + 1, jnp.int32),
         tri_mol=jnp.zeros(len(faces), jnp.int32),
-        membrane=jnp.asarray([[ka, area0, kv, vol0, 0.0, 0.0]], jnp.float32))
+        membrane=jnp.asarray([[ka, area0, kv, vol0, kb, 0.0]], jnp.float32),
+        hinge_tags=jnp.asarray(hinges + 1, jnp.int32),
+        hinge_coeffs=jnp.asarray(hinge_coeffs, jnp.float32))
 
     params = SystemParams.build(
         DPDParams.build(a=a, gamma=gamma, rc=rc, kt=kt, seed=seed)

@@ -52,6 +52,10 @@ class BondedParams:
     tri_mol: Optional[Array] = None      # (NT,) int32 molecule id (0-based)
     membrane: Optional[Array] = None     # (n_mols, 6): (ka_g, A0, kv, V0,
     #                                       kb, theta0) global coefficients
+    # bending hinges: adjacent-triangle pairs sharing edge (a,b) with
+    # opposite vertices c,d; E = kb (1 - cos(theta - theta0))
+    hinge_tags: Optional[Array] = None   # (NH, 4) int32 tags (a, b, c, d)
+    hinge_coeffs: Optional[Array] = None  # (NH, 2): (kb, theta0)
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -141,6 +145,30 @@ def angle_energy(x: Array, inv: Array, params: BondedParams,
     return jnp.sum(jnp.where(valid, e, 0.0))
 
 
+def hinge_bending_energy(x: Array, inv: Array, params: BondedParams,
+                         box: Box) -> Array:
+    """Fedosov-type bending across adjacent triangles (A.4): for triangles
+    (a,b,c) and (b,a,d) sharing edge ab, E = kb (1 - cos(theta - theta0))
+    with theta the dihedral between their normals."""
+    h = params.hinge_tags
+    a, b, c, d = inv[h[:, 0]], inv[h[:, 1]], inv[h[:, 2]], inv[h[:, 3]]
+    valid = h[:, 0] > 0
+    xa = x[a]
+    e_ab = box.min_image(x[b] - xa)
+    e_ac = box.min_image(x[c] - xa)
+    e_ad = box.min_image(x[d] - xa)
+    n1 = jnp.cross(e_ab, e_ac)
+    n2 = jnp.cross(e_ad, e_ab)  # orientation so flat sheet -> theta = 0
+    cosq = jnp.sum(n1 * n2, -1) * jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(n1 * n1, -1) * jnp.sum(n2 * n2, -1), 1e-18))
+    cosq = jnp.clip(cosq, -0.9999, 0.9999)
+    theta = jnp.arccos(cosq)
+    kb = params.hinge_coeffs[:, 0]
+    th0 = params.hinge_coeffs[:, 1]
+    e = kb * (1.0 - jnp.cos(theta - th0))
+    return jnp.sum(jnp.where(valid, e, 0.0))
+
+
 # ---------------------------------------------------------------------------
 # Membrane (triangulated closed surface; Fedosov-type)
 # ---------------------------------------------------------------------------
@@ -185,7 +213,8 @@ def bonded_forces(x: Array, tag: Array, mask: Array, box: Box,
     """Total bonded force: explicit 2-body + grad of angle/membrane energy."""
     f = bond_forces(x, tag, mask, box, params, style, n_tags)
     needs_grad = (params.angle_tags is not None or
-                  params.tri_tags is not None)
+                  params.tri_tags is not None or
+                  params.hinge_tags is not None)
     if needs_grad:
         def energy(xx):
             inv = inverse_tag_map(tag, mask, n_tags)
@@ -194,6 +223,8 @@ def bonded_forces(x: Array, tag: Array, mask: Array, box: Box,
                 e = e + angle_energy(xx, inv, params, box)
             if params.tri_tags is not None:
                 e = e + membrane_energy(xx, inv, params, box, n_mols)
+            if params.hinge_tags is not None:
+                e = e + hinge_bending_energy(xx, inv, params, box)
             return e
         f = f - jax.grad(energy)(x)
     return jnp.where(mask[:, None], f, 0.0)

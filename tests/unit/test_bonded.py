@@ -134,3 +134,39 @@ def test_membrane_energy_grad_shrinks_inflated_sphere():
     # radial component must point inward everywhere
     radial = np.sum(f * np.asarray(x_inflated - center), axis=1)
     assert (radial < 0).all()
+
+
+def test_hinge_bending_flat_vs_folded():
+    """Bending energy gradient flattens a folded hinge toward theta0=0."""
+    from meso_tpu.ops.bonded import hinge_bending_energy
+    import jax as _jax
+    box = Box.cubic(20.0)
+    # two triangles sharing edge (1,2): verts 1=(0,0,0), 2=(1,0,0),
+    # 3=(0.5,1,0) [tri 1], 4=(0.5,-1,0.5) folded out of plane [tri 2]
+    x = jnp.asarray([[0., 0., 0.], [1., 0., 0.],
+                     [0.5, 1., 0.], [0.5, -1., 0.5]])
+    tag = jnp.arange(1, 5, dtype=jnp.int32)
+    mask = jnp.ones(4, bool)
+    params = BondedParams(
+        bond_tags=jnp.zeros((1, 2), jnp.int32),
+        bond_type=jnp.zeros(1, jnp.int32),
+        bond_coeffs=jnp.asarray([[0.0, 1.0, 0, 0]], jnp.float32),
+        hinge_tags=jnp.asarray([[1, 2, 3, 4]], jnp.int32),
+        hinge_coeffs=jnp.asarray([[5.0, 0.0]], jnp.float32))
+    inv = inverse_tag_map(tag, mask, 4)
+    e_folded = float(hinge_bending_energy(x, inv, params, box))
+    x_flat = x.at[3, 2].set(0.0)
+    e_flat = float(hinge_bending_energy(x_flat, inv, params, box))
+    assert e_flat < 1e-3  # cos-clip guard leaves ~5e-4 residual
+    assert e_folded > 0.1
+    # force pushes the folded vertex back toward the plane
+    f = bonded_forces(x, tag, mask, box, params, "harmonic", 4)
+    assert float(f[3, 2]) < 0.0
+
+
+def test_membrane_with_hinges_runs():
+    from meso_tpu.models.polymer import build_hinges, icosphere
+    verts, faces = icosphere(1)
+    hinges = build_hinges(faces)
+    # closed surface: every edge shared by exactly 2 faces -> NH = 3F/2
+    assert len(hinges) == 3 * len(faces) // 2
