@@ -48,6 +48,11 @@ class DPDParams:
     kt: Array      # ()     target temperature (FDT)
     seed: Array    # ()     uint32 global RNG seed (pair_style dpd's seed arg)
     s_exp: Array   # ()     w_D = w^(2*s_exp); reference default s_exp = 1
+    # special_bonds (SURVEY §2a row 7): per-particle excluded-tag lists and
+    # the scale applied to excluded pairs (LAMMPS `special_bonds` weight;
+    # 1.0 = no exclusion — the usual DPD-polymer convention)
+    excl: "Array | None" = None     # (n_tags+1, E) int32 tags, 0 = empty
+    excl_w: "Array | None" = None   # () float32 weight for excluded pairs
 
     @staticmethod
     def build(a, gamma, rc, kt: float, seed: int, n_types: int = 1,
@@ -102,6 +107,34 @@ def pair_force(dr: Array, vij: Array, theta: Array, a: Array, gamma: Array,
     return f, virial_half
 
 
+def special_weight(tag_i: Array, tag_j: Array, params: DPDParams) -> Array:
+    """Pairwise special_bonds weight: excl_w where tag_j is in tag_i's
+    exclusion list, else 1. Shapes broadcast like tag_i/tag_j."""
+    if params.excl is None:
+        return jnp.ones(jnp.broadcast_shapes(tag_i.shape, tag_j.shape),
+                        jnp.float32)
+    ex = params.excl[tag_i]                      # (..., E)
+    hit = jnp.any(ex == tag_j[..., None], axis=-1)
+    return jnp.where(hit, params.excl_w, 1.0).astype(jnp.float32)
+
+
+def build_exclusions(bond_tags, n_tags: int, weight: float = 0.0,
+                     max_excl: int = 6):
+    """Host-side: per-tag exclusion lists from a (NB,2) bond-tag table."""
+    import numpy as np
+    ex = np.zeros((n_tags + 1, max_excl), np.int32)
+    cnt = np.zeros(n_tags + 1, np.int32)
+    for a, b in np.asarray(bond_tags):
+        if a <= 0:
+            continue
+        for (s, t) in ((a, b), (b, a)):
+            if cnt[s] >= max_excl:
+                raise ValueError(f"tag {s}: more than {max_excl} exclusions")
+            ex[s, cnt[s]] = t
+            cnt[s] += 1
+    return jnp.asarray(ex), jnp.asarray(weight, jnp.float32)
+
+
 def _theta_dense(tag: Array, step: Array, params: DPDParams,
                  rng_mode: str, rng_rounds: int) -> Array:
     """(N, N) symmetric noise matrix for the dense path."""
@@ -147,6 +180,10 @@ def nlist_forces(x: Array, v: Array, typ: Array, tag: Array, mask: Array,
     dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
     f_pair, vir_half = pair_force(dr, vij, theta, a, gamma, sigma, rc,
                                   dt_inv_sqrt, params.s_exp)
+    if params.excl is not None:
+        w_sp = special_weight(tag[:, None], tag_j, params)
+        f_pair = f_pair * w_sp[..., None]
+        vir_half = vir_half * w_sp
     f = jnp.sum(f_pair, axis=1)
     virial = jnp.sum(vir_half)
     return f, virial
@@ -175,6 +212,10 @@ def dense_forces(x: Array, v: Array, typ: Array, tag: Array, mask: Array,
     dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
     f_pair, vir_half = pair_force(dr, vij, theta, a, gamma, sigma, rc,
                                   dt_inv_sqrt, params.s_exp)
+    if params.excl is not None:
+        w_sp = special_weight(tag[:, None], tag[None, :], params)
+        f_pair = f_pair * w_sp[..., None]
+        vir_half = vir_half * w_sp
     f = jnp.sum(f_pair, axis=1)
     virial = jnp.sum(vir_half)
     r2 = jnp.sum(dr * dr, axis=-1)

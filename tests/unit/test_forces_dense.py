@@ -109,3 +109,47 @@ def test_random_force_scales_with_inv_sqrt_dt():
     f2, _, _ = dense_forces(st.x, st.v, st.typ, st.tag, st.mask, box,
                             jnp.int32(9), params, 0.04)
     assert np.allclose(np.asarray(f1), 2.0 * np.asarray(f2), rtol=1e-5, atol=1e-6)
+
+
+def test_special_bonds_exclusion_weight():
+    """special_bonds (row 7): excluded pairs scaled by excl_w in dense and
+    nlist paths; weight=1 reproduces the unexcluded forces."""
+    from meso_tpu.ops.dpd import build_exclusions, nlist_forces
+    from meso_tpu.neighbor.cells import CellConfig, build_cells
+    from meso_tpu.neighbor.nlist import build_nlist, neighbor_capacity
+
+    box, st, params = _small_system(n=128, l=5.0)
+    bonds = jnp.asarray([[1, 2], [2, 3]], jnp.int32)
+    # place bonded particles within range
+    x = st.x.at[0].set(jnp.asarray([1.0, 1.0, 1.0]))
+    x = x.at[1].set(jnp.asarray([1.5, 1.0, 1.0]))
+    x = x.at[2].set(jnp.asarray([1.5, 1.5, 1.0]))
+    st = st.replace(x=x)
+    step = jnp.int32(7)
+
+    f_base, _, _ = dense_forces(st.x, st.v, st.typ, st.tag, st.mask, box,
+                                step, params, 0.01)
+    excl, w = build_exclusions(bonds, 128, weight=0.0)
+    p_excl = params.replace(excl=excl, excl_w=w)
+    f_ex, _, _ = dense_forces(st.x, st.v, st.typ, st.tag, st.mask, box,
+                              step, p_excl, 0.01)
+    # bonded pairs no longer contribute: forces on particles 0-2 changed
+    assert np.abs(np.asarray(f_ex)[:3] - np.asarray(f_base)[:3]).max() > 0.1
+    # unrelated distant particle unchanged
+    assert np.allclose(np.asarray(f_ex)[100], np.asarray(f_base)[100])
+    # weight=1.0 is identity
+    excl1, w1 = build_exclusions(bonds, 128, weight=1.0)
+    f_id, _, _ = dense_forces(st.x, st.v, st.typ, st.tag, st.mask, box,
+                              step, params.replace(excl=excl1, excl_w=w1),
+                              0.01)
+    assert np.allclose(np.asarray(f_id), np.asarray(f_base))
+    # nlist path agrees with dense under exclusions
+    cfg = CellConfig.for_box([5.0] * 3, rc=1.0, density=128 / 125, skin=0.3)
+    st2, cells = build_cells(st, cfg)
+    m = neighbor_capacity(128 / 125, 1.0, cfg.skin)
+    nl = build_nlist(st2.x, st2.mask, box, cells, cfg, 1.0, m)
+    f_ed, _, _ = dense_forces(st2.x, st2.v, st2.typ, st2.tag, st2.mask, box,
+                              step, p_excl, 0.01)
+    f_en, _ = nlist_forces(st2.x, st2.v, st2.typ, st2.tag, st2.mask, box,
+                           step, p_excl, 0.01, nl.idx)
+    assert np.abs(np.asarray(f_en) - np.asarray(f_ed)).max() < 1e-4
