@@ -23,16 +23,10 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
+def run_config(l, path, skin, every, nsteps):
     from meso_tpu.core.system import run_adaptive, run_bucket_chunked
     from meso_tpu.models.classic import classic_fluid
     from meso_tpu.obs import kinetic_temperature
-
-    l = float(os.environ.get("MESO_BENCH_L", "70"))
-    path = os.environ.get("MESO_BENCH_PATH", "pallas")
-    skin = float(os.environ.get("MESO_BENCH_SKIN", "0.4"))
-    every = int(os.environ.get("MESO_BENCH_REBUILD", "3"))
-    nsteps = int(os.environ.get("MESO_BENCH_STEPS", "201"))
 
     system, params, state = classic_fluid(
         l=l, rebuild_every=every, skin=skin, rng_mode="fast",
@@ -76,6 +70,23 @@ def main():
                 "nlist_overflow", "n_rebuilds"):
         if key in diag:
             result[key] = round(float(jnp.max(jnp.asarray(diag[key]))), 3)
+    return result
+
+
+def main():
+    from meso_tpu.core.system import run_adaptive, run_bucket_chunked  # noqa
+    l = float(os.environ.get("MESO_BENCH_L", "70"))
+    path = os.environ.get("MESO_BENCH_PATH", "pallas")
+    skin = float(os.environ.get("MESO_BENCH_SKIN", "0.4"))
+    every = int(os.environ.get("MESO_BENCH_REBUILD", "3"))
+    nsteps = int(os.environ.get("MESO_BENCH_STEPS", "201"))
+    try:
+        result = run_config(l, path, skin, every, nsteps)
+    except Exception as e:  # fall back to the validated 98k config
+        sys.stderr.write(f"[bench] L={l} failed ({type(e).__name__}); "
+                         f"falling back to L=32\n")
+        result = run_config(32.0, path, skin, every, nsteps)
+        result["note"] = f"fallback from L={l}: {type(e).__name__}"
     print(json.dumps(result))
 
 
