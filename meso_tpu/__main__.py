@@ -14,6 +14,9 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=None,
                     help="override run.steps")
     ap.add_argument("--log", default=None, help="JSONL thermo log path")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of one thermo "
+                         "interval into DIR (view with xprof/tensorboard)")
     args = ap.parse_args(argv)
 
     from meso_tpu.core.system import run_adaptive, run_bucket
@@ -30,9 +33,17 @@ def main(argv=None):
     runner = run_bucket if system.force_path in ("bucket", "pallas") \
         else run_adaptive
     done = 0
+    profiled = False
     while done < steps:
         n = min(run_cfg.thermo_every, steps - done)
-        state, diag = runner(system, params, state, n)
+        if args.profile and not profiled and done > 0:
+            import jax
+            with jax.profiler.trace(args.profile):
+                state, diag = runner(system, params, state, n)
+                jax.block_until_ready(state.x)
+            profiled = True
+        else:
+            state, diag = runner(system, params, state, n)
         done += n
         logger.log(system, params, state,
                    extra={"rebuilds": int(diag["n_rebuilds"])})
