@@ -128,6 +128,11 @@ def bucket_forces_xla_xhalo(planes_padded: Array, box_lengths: Array,
     sx, sy, sz, ux, uy, uz, hb, valid = [planes_padded[i] for i in range(8)]
     h = jax.lax.bitcast_convert_type(hb, jnp.uint32)
 
+    def mi_x(d):
+        # a particle can wrap the GLOBAL box mid-window while staying in a
+        # far slab's buckets; min-image restores its pair distances
+        return d - jnp.round(d / box_lengths[0]) * box_lengths[0]
+
     def mi_y(d):
         return d - jnp.round(d / box_lengths[1]) * box_lengths[1]
 
@@ -157,7 +162,7 @@ def bucket_forces_xla_xhalo(planes_padded: Array, box_lengths: Array,
     for dy in (-1, 0, 1):
         for dz in (-1, 0, 1):
             for dx in (-1, 0, 1):
-                drx = selfe(sx) - neigh(sx, dy, dz, dx)
+                drx = mi_x(selfe(sx) - neigh(sx, dy, dz, dx))
                 dry = mi_y(selfe(sy) - neigh(sy, dy, dz, dx))
                 drz = mi_z(selfe(sz) - neigh(sz, dy, dz, dx))
                 r2 = drx * drx + dry * dry + drz * drz

@@ -141,8 +141,10 @@ def _migrate(state: State, dcfg: DomainConfig, slab_lo: Array,
     me = jax.lax.axis_index(AXIS)
     delta = jnp.mod(tgt - me, n)
     go_right = state.mask & (delta == 1)
-    go_left = state.mask & (delta == n - 1)
-    too_far = state.mask & (delta != 0) & (delta != 1) & (delta != n - 1)
+    # n == 2: both neighbors are the same device; route all moves right so
+    # a crosser is shipped exactly once
+    go_left = state.mask & (delta == n - 1) & ~go_right
+    too_far = state.mask & (delta != 0) & ~go_right & ~go_left
 
     buf_r, of_r = _pack(state, go_right, dcfg.cap_mig)
     buf_l, of_l = _pack(state, go_left, dcfg.cap_mig)
