@@ -119,12 +119,17 @@ def _rebuild_slab(state: State, cfg: CellConfig, slab_lo: Array,
 _MIG_FIELDS = ["x", "v", "f", "tag", "typ", "image", "mol"]
 
 
+def _mig_fields(state: State):
+    return _MIG_FIELDS + [f for f in ("T", "dTdt", "C", "dCdt")
+                          if getattr(state, f) is not None]
+
+
 def _pack(state: State, sel: Array, cap: int):
     """Compact selected rows into fixed-capacity buffers via a stable sort
     (selected rows first, original order preserved; no scan/cumsum)."""
     order = jnp.argsort(~sel, stable=True)
     take = order[:cap]
-    buf = {f: getattr(state, f)[take] for f in _MIG_FIELDS}
+    buf = {f: getattr(state, f)[take] for f in _mig_fields(state)}
     buf["mask"] = sel[take]
     overflow = jnp.sum(sel) - jnp.sum(buf["mask"])
     return buf, overflow
@@ -158,16 +163,15 @@ def _migrate(state: State, dcfg: DomainConfig, slab_lo: Array,
     keep = state.mask & ~go_right & ~go_left & ~too_far
     state = state.replace(mask=keep)
 
-    def cat(field, local):
+    def cat(field):
         return jnp.concatenate(
-            [local, recv_from_left[field], recv_from_right[field]], axis=0)
+            [getattr(state, field), recv_from_left[field],
+             recv_from_right[field]], axis=0)
 
     merged = state.replace(
-        x=cat("x", state.x), v=cat("v", state.v), f=cat("f", state.f),
-        tag=cat("tag", state.tag), typ=cat("typ", state.typ),
-        image=cat("image", state.image), mol=cat("mol", state.mol),
         mask=jnp.concatenate([keep, recv_from_left["mask"],
-                              recv_from_right["mask"]]))
+                              recv_from_right["mask"]]),
+        **{f: cat(f) for f in _mig_fields(state)})
     overflow = of_r + of_l + jnp.sum(too_far)
     return merged, overflow
 
@@ -213,6 +217,65 @@ def _halo_forces(state: State, system: System, params: SystemParams,
 # distributed step + loop
 # ---------------------------------------------------------------------------
 
+def _halo_channels_1d(channels: dict, dcfg: DomainConfig):
+    """x-halo exchange per channel (ppermute ring) with wrap-shifted x."""
+    n = dcfg.n_dev
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    me = jax.lax.axis_index(AXIS)
+    lx = jnp.float32(dcfg.lx_global)
+    out = {}
+    for name, p in channels.items():
+        hl = jax.lax.ppermute(p[..., -1:], AXIS, fwd)
+        hr = jax.lax.ppermute(p[..., :1], AXIS, bwd)
+        if name == "x":
+            hl = hl + jnp.where(me == 0, -lx, 0.0)
+            hr = hr + jnp.where(me == n - 1, lx, 0.0)
+        out[name] = jnp.concatenate([hl, p, hr], axis=-1)
+    return out
+
+
+def _halo_forces_model(state: State, system: System, params: SystemParams,
+                       dcfg: DomainConfig, step: Array, x: Array, v: Array,
+                       t, c):
+    """eDPD/tDPD distributed force eval via the generic sweep
+    (ops/sweep.py). Returns (f, aux dict with model extras)."""
+    from meso_tpu.ops.sweep import (edpd_pair_fn, make_channels, sweep,
+                                    tdpd_pair_fn)
+
+    cfg = dcfg.cells
+    nx, ny, nz = cfg.ncell
+    k = cfg.capacity
+    nr = ny * nz * k * nx
+    h = rngmod.particle_hash(state.tag, step, params.pair.seed,
+                             rounds=system.rng_rounds)
+    extra = {}
+    if system.model == "edpd":
+        extra["T"] = t
+        pair_fn = edpd_pair_fn(params.pair, system.dt)
+        n_out = 5
+    else:
+        ns = params.pair.n_species
+        for sidx in range(ns):
+            extra[f"C{sidx}"] = c[:, sidx]
+        pair_fn = tdpd_pair_fn(params.pair, system.dt, ns)
+        n_out = 4 + ns
+    channels = make_channels(x, v, state.tag, state.mask, h, extra,
+                             cfg.ncell, k)
+    padded = _halo_channels_1d(channels, dcfg)
+    acc = sweep(padded, cfg.ncell, k, (False, False, True),
+                state.box.lengths, pair_fn, n_out)
+    f = jnp.stack([acc[0].reshape(nr), acc[1].reshape(nr),
+                   acc[2].reshape(nr)], -1)
+    aux = {"virial": jnp.sum(acc[3])}
+    if system.model == "edpd":
+        aux["dTdt"] = acc[4].reshape(nr) / params.pair.cv
+    else:
+        aux["dCdt"] = jnp.stack(
+            [acc[4 + sidx].reshape(nr) for sidx in range(n_out - 4)], -1)
+    return f, aux
+
+
 def _step_local(system: System, params: SystemParams, dcfg: DomainConfig,
                 state: State) -> State:
     inv_m = params.inv_mass[state.typ]
@@ -225,12 +288,27 @@ def _step_local(system: System, params: SystemParams, dcfg: DomainConfig,
         if hasattr(fx, "post_integrate"):
             x1, image1, v_tilde = fx.post_integrate(
                 system, params, state, x1, image1, v_tilde)
-    f_new, _ = _halo_forces(state, system, params, dcfg, new_step, x1,
-                            v_tilde)
+    if system.model == "dpd":
+        f_new, _ = _halo_forces(state, system, params, dcfg, new_step, x1,
+                                v_tilde)
+        aux = {}
+    else:
+        f_new, aux = _halo_forces_model(state, system, params, dcfg,
+                                        new_step, x1, v_tilde, state.T,
+                                        state.C)
     f_new = _post_forces(system, params, state, x1, v_tilde, f_new)
     v1 = final_integrate(state.v, state.f, f_new, system.dt, inv_m, move)
     new_state = state.replace(x=x1, v=v1, f=f_new, image=image1,
                               step=new_step)
+    if system.model == "edpd":
+        new_state = new_state.replace(
+            T=state.T + system.dt * jnp.where(move, aux["dTdt"], 0.0),
+            dTdt=aux["dTdt"])
+    elif system.model == "tdpd":
+        new_state = new_state.replace(
+            C=state.C + system.dt * jnp.where(move[:, None],
+                                              aux["dCdt"], 0.0),
+            dCdt=aux["dCdt"])
     for fx in system.fixes:
         if hasattr(fx, "end_of_step"):
             new_state = fx.end_of_step(system, params, new_state)
