@@ -62,3 +62,23 @@ def test_rdf_and_kt_parity_dense_vs_bucket():
     # effective N ~ 5, se ~ 1.5%; 3-sigma band)
     assert abs(kt_d - 1.0) < 0.05, kt_d
     assert abs(kt_b - 1.0) < 0.05, kt_b
+
+
+@pytest.mark.slow
+def test_pressure_profile_uniform_fluid():
+    """A homogeneous equilibrated fluid must show a flat pressure profile
+    matching the scalar virial pressure (compute stress/atom analog)."""
+    from meso_tpu.obs.stress import pressure_profile
+    sys_b, params, st = classic_fluid(l=6.0, force_path="bucket",
+                                      rng_mode="fast", skin=0.5,
+                                      rebuild_every=4)
+    st, _ = run_bucket_chunked(sys_b, params, st, 150, 4)
+    accs = []
+    for _ in range(10):
+        st, _ = run_bucket_chunked(sys_b, params, st, 5, 4)
+        c, p = pressure_profile(sys_b, params, st, axis=0, nbins=6)
+        accs.append(np.asarray(p))
+    p_mean = np.mean(accs, axis=0)
+    # Groot-Warren EOS at rho=3, a=25: P ~ rho kT + 0.101 a rho^2 ~ 25.7
+    assert 20.0 < p_mean.mean() < 30.0, p_mean
+    assert p_mean.std() / p_mean.mean() < 0.08, p_mean  # flat profile
