@@ -32,7 +32,6 @@ from meso_tpu.core.system import System, SystemParams, _move_mask, _post_forces
 from meso_tpu.core.integrate import final_integrate, initial_integrate
 from meso_tpu.neighbor.cells import CellConfig
 from meso_tpu.core import rng as rngmod
-from meso_tpu.ops.bucket_dpd import bucket_forces_xla_xhalo
 
 Array = jax.Array
 AXIS = "x"
@@ -182,35 +181,64 @@ def _migrate(state: State, dcfg: DomainConfig, slab_lo: Array,
 
 def _halo_forces(state: State, system: System, params: SystemParams,
                  dcfg: DomainConfig, step: Array, x: Array, v: Array):
+    """Classic DPD force eval with comm/compute OVERLAP (SURVEY.md row 28):
+    the halo ppermutes are issued first, then the INTERIOR cell columns
+    (whose stencils never touch halos) are swept with no data dependency on
+    the collectives — XLA's latency-hiding scheduler runs them concurrently.
+    The two BOUNDARY columns are swept last from 3-column windows that
+    include the received halos. This is the border/inner split of the
+    reference's stream pipeline (``comm_meso.cu`` + row 28)."""
+    from meso_tpu.ops.sweep import classic_pair_fn, make_channels, sweep
+
     cfg = dcfg.cells
     nx, ny, nz = cfg.ncell
     k = cfg.capacity
     n = dcfg.n_dev
-    shape = (ny, nz, k, nx)
+    nr = ny * nz * k * nx
     h = rngmod.particle_hash(state.tag, step, params.pair.seed,
                              rounds=system.rng_rounds)
-    planes = jnp.stack([
-        x[:, 0].reshape(shape), x[:, 1].reshape(shape),
-        x[:, 2].reshape(shape),
-        v[:, 0].reshape(shape), v[:, 1].reshape(shape),
-        v[:, 2].reshape(shape),
-        jax.lax.bitcast_convert_type(h, jnp.float32).reshape(shape),
-        state.mask.astype(jnp.float32).reshape(shape)])
+    channels = make_channels(x, v, state.tag, state.mask, h, {},
+                             cfg.ncell, k)
+    pair_fn = classic_pair_fn(params.pair, system.dt)
+    lens = state.box.lengths
 
-    right_edge = planes[..., -1:]
-    left_edge = planes[..., :1]
+    # 1) issue halo exchange (async collectives)
     fwd = [(i, (i + 1) % n) for i in range(n)]
     bwd = [(i, (i - 1) % n) for i in range(n)]
-    halo_left = jax.lax.ppermute(right_edge, AXIS, fwd)   # from left nbr
-    halo_right = jax.lax.ppermute(left_edge, AXIS, bwd)   # from right nbr
     me = jax.lax.axis_index(AXIS)
     lx = jnp.float32(dcfg.lx_global)
-    halo_left = halo_left.at[0].add(jnp.where(me == 0, -lx, 0.0))
-    halo_right = halo_right.at[0].add(jnp.where(me == n - 1, lx, 0.0))
-    # wrap halos along y/z are handled by periodic rolls inside the sweep
-    padded = jnp.concatenate([halo_left, planes, halo_right], axis=-1)
-    return bucket_forces_xla_xhalo(padded, state.box.lengths, params.pair,
-                                   system.dt, cfg.ncell, k)
+    halo_l, halo_r = {}, {}
+    for name, p in channels.items():
+        hl = jax.lax.ppermute(p[..., -1:], AXIS, fwd)
+        hr = jax.lax.ppermute(p[..., :1], AXIS, bwd)
+        if name == "x":
+            hl = hl + jnp.where(me == 0, -lx, 0.0)
+            hr = hr + jnp.where(me == n - 1, lx, 0.0)
+        halo_l[name], halo_r[name] = hl, hr
+
+    # 2) interior columns 1..nx-2: stencils stay within local columns
+    #    0..nx-1 — no halo dependency, overlaps the permutes
+    acc_int = sweep(channels, (nx - 2, ny, nz), k, (False, False, True),
+                    lens, pair_fn, 4)
+
+    # 3) boundary columns from 3-column windows including the halos
+    def window(sel):
+        return {name: jnp.concatenate(sel(name), axis=-1)
+                for name in channels}
+
+    left_win = window(lambda nm: (halo_l[nm], channels[nm][..., :2]))
+    right_win = window(lambda nm: (channels[nm][..., -2:], halo_r[nm]))
+    acc_l = sweep(left_win, (1, ny, nz), k, (False, False, True), lens,
+                  pair_fn, 4)
+    acc_r = sweep(right_win, (1, ny, nz), k, (False, False, True), lens,
+                  pair_fn, 4)
+
+    # stitch columns: [left | interior | right]
+    outs = [jnp.concatenate([acc_l[i], acc_int[i], acc_r[i]], axis=-1)
+            for i in range(4)]
+    f = jnp.stack([outs[0].reshape(nr), outs[1].reshape(nr),
+                   outs[2].reshape(nr)], -1)
+    return f, jnp.sum(outs[3])
 
 
 # ---------------------------------------------------------------------------
