@@ -135,71 +135,16 @@ def dense_forces_edpd(x, v, t, typ, tag, mask, box: Box, step, params:
 def bucket_forces_edpd(x, v, t, typ, tag, mask, box: Box, step,
                        params: EDPDParams, dt: float, cfg: CellConfig,
                        rng_rounds: int = 8):
-    """Structured (roll-based) eDPD forces over bucket-resident rows.
-    Returns (f (nr,3), dTdt (nr,), virial)."""
-    nx, ny, nz = cfg.ncell
-    k = cfg.capacity
+    """Structured eDPD forces over bucket-resident rows via the shared
+    sweep (ops/sweep.py). Returns (f (nr,3), dTdt (nr,), virial)."""
+    from meso_tpu.ops.sweep import edpd_pair_fn, make_channels, sweep
+
     nr = x.shape[0]
-    shape = (ny, nz, k, nx)
-
-    def plane(a):
-        return a.reshape(shape)
-
-    sx, sy, sz = plane(x[:, 0]), plane(x[:, 1]), plane(x[:, 2])
-    ux, uy, uz = plane(v[:, 0]), plane(v[:, 1]), plane(v[:, 2])
-    tp = plane(typ)
-    tt = plane(t)
-    tg = plane(tag)
-    valid = plane(mask)
-    h = plane(rngmod.particle_hash(tag, step, params.seed, rounds=rng_rounds))
-    lens = box.lengths
-
-    def mi(d, axis):
-        return d - jnp.round(d / lens[axis]) * lens[axis]
-
-    def selfe(p):
-        return p[:, :, None, :, :]
-
-    def neigh(p, dy, dz, dx):
-        return jnp.roll(p, (-dy, -dz, -dx), (0, 1, 3))[:, :, :, None, :]
-
-    eye = jnp.eye(k, dtype=bool)[None, None, :, :, None]
-    dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
-    f_acc = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
-    q_acc = jnp.zeros(shape, jnp.float32)
-    vir_acc = jnp.zeros(shape, jnp.float32)
-
-    for dy in (-1, 0, 1):
-        for dz in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                drx = mi(selfe(sx) - neigh(sx, dy, dz, dx), 0)
-                dry = mi(selfe(sy) - neigh(sy, dy, dz, dx), 1)
-                drz = mi(selfe(sz) - neigh(sz, dy, dz, dx), 2)
-                dvx = selfe(ux) - neigh(ux, dy, dz, dx)
-                dvy = selfe(uy) - neigh(uy, dy, dz, dx)
-                dvz = selfe(uz) - neigh(uz, dy, dz, dx)
-                hj = neigh(h, dy, dz, dx)
-                hp = rngmod.combine_symmetric(selfe(h), hj)
-                theta = rngmod.uniform_stream(hp, 0)
-                tgj = neigh(tg, dy, dz, dx)
-                sign = jnp.where(selfe(tg) < tgj, 1.0, -1.0)
-                zeta = sign * rngmod.uniform_stream(hp, 1)
-                ti = selfe(tp)
-                tj = neigh(tp, dy, dz, dx)
-                ok = selfe(valid) & neigh(valid, dy, dz, dx)
-                if dx == 0 and dy == 0 and dz == 0:
-                    ok = ok & ~eye
-                rc = jnp.where(ok, params.rc[ti, tj], 0.0)
-                dr = jnp.stack([drx, dry, drz], -1)
-                dv = jnp.stack([dvx, dvy, dvz], -1)
-                fp, qp, vh = edpd_pair(
-                    dr, dv, selfe(tt), neigh(tt, dy, dz, dx), theta, zeta,
-                    params.a[ti, tj], params.gamma[ti, tj], rc,
-                    params.kappa[ti, tj], params.mass, dt_inv_sqrt)
-                for c in range(3):
-                    f_acc[c] = f_acc[c] + jnp.sum(fp[..., c], axis=2)
-                q_acc = q_acc + jnp.sum(qp, axis=2)
-                vir_acc = vir_acc + jnp.sum(vh, axis=2)
-
-    f = jnp.stack([f_acc[c].reshape(nr) for c in range(3)], -1)
-    return f, q_acc.reshape(nr) / params.cv, jnp.sum(vir_acc)
+    h = rngmod.particle_hash(tag, step, params.seed, rounds=rng_rounds)
+    channels = make_channels(x, v, tag, mask, h, {"T": t}, cfg.ncell,
+                             cfg.capacity)
+    acc = sweep(channels, cfg.ncell, cfg.capacity, (False, False, False),
+                box.lengths, edpd_pair_fn(params, dt), 5)
+    f = jnp.stack([acc[0].reshape(nr), acc[1].reshape(nr),
+                   acc[2].reshape(nr)], -1)
+    return f, acc[4].reshape(nr) / params.cv, jnp.sum(acc[3])

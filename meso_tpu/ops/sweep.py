@@ -118,15 +118,27 @@ def make_channels(x, v, tag, mask, h, extra: dict, ncell, capacity: int):
     return ch
 
 
-def classic_pair_fn(params, dt: float):
-    """Per-pair physics for classic DPD -> (fx, fy, fz, virial)."""
-    a = params.a[0, 0]
-    gamma = params.gamma[0, 0]
-    sigma = params.sigma[0, 0]
-    rc = params.rc[0, 0]
+def classic_pair_fn(params, dt: float, rng_mode: str = "fast",
+                    step=None, rng_rounds: int = 8,
+                    multitype: bool = False):
+    """Per-pair physics for classic DPD -> (fx, fy, fz, virial).
+
+    multitype: look coefficients up from the (T,T) tables via the 'typ'
+    channel; tea: full TEA on sorted tag pairs (reference parity)."""
     dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
 
     def fn(dr, sv, nv, ok, hp, sign):
+        if multitype:
+            ti, tj = sv["typ"], nv["typ"]
+            a = params.a[ti, tj]
+            gamma = params.gamma[ti, tj]
+            sigma = params.sigma[ti, tj]
+            rc = params.rc[ti, tj]
+        else:
+            a = params.a[0, 0]
+            gamma = params.gamma[0, 0]
+            sigma = params.sigma[0, 0]
+            rc = params.rc[0, 0]
         drx, dry, drz = dr
         r2 = drx * drx + dry * dry + drz * drz
         ok = ok & (r2 < rc * rc) & (r2 > 0.0)
@@ -136,9 +148,13 @@ def classic_pair_fn(params, dt: float):
         w = 1.0 - r / rc
         ev = (drx * (sv["vx"] - nv["vx"]) + dry * (sv["vy"] - nv["vy"])
               + drz * (sv["vz"] - nv["vz"])) * rinv
-        # same stream as pair_uniform_fast -> bitwise parity with the
-        # single-chip classic bucket/Pallas paths
-        theta = rngmod._u32_to_symmetric_uniform(hp)
+        if rng_mode == "tea":
+            theta = rngmod.pair_uniform_tea(sv["tag"], nv["tag"], step,
+                                            params.seed, rounds=rng_rounds)
+        else:
+            # same stream as pair_uniform_fast -> bitwise parity with the
+            # single-chip classic bucket/Pallas paths
+            theta = rngmod._u32_to_symmetric_uniform(hp)
         fmag = a * w - gamma * (w * w) * ev + sigma * w * theta * dt_inv_sqrt
         fmag = jnp.where(ok, fmag, 0.0)
         fr = fmag * rinv

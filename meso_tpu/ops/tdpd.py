@@ -121,84 +121,20 @@ def dense_forces_tdpd(x, v, c, typ, tag, mask, box: Box, step,
 def bucket_forces_tdpd(x, v, c, typ, tag, mask, box: Box, step,
                        params: TDPDParams, dt: float, cfg: CellConfig,
                        rng_rounds: int = 8):
-    """Structured (roll-based) tDPD forces over bucket-resident rows."""
-    nx, ny, nz = cfg.ncell
-    k = cfg.capacity
+    """Structured tDPD forces over bucket-resident rows via the shared
+    sweep. Requires rcc == rc and s1 == 1 in this path (the dense oracle
+    supports the general forms). Returns (f, dCdt (nr,S), virial)."""
+    from meso_tpu.ops.sweep import make_channels, sweep, tdpd_pair_fn
+
     nr = x.shape[0]
     ns = params.n_species
-    shape = (ny, nz, k, nx)
-
-    def plane(a):
-        return a.reshape(shape)
-
-    def plane_s(a):  # (nr, S) -> (ny,nz,k,nx,S)
-        return a.reshape(shape + (ns,))
-
-    sx, sy, sz = plane(x[:, 0]), plane(x[:, 1]), plane(x[:, 2])
-    ux, uy, uz = plane(v[:, 0]), plane(v[:, 1]), plane(v[:, 2])
-    tp = plane(typ)
-    cc = plane_s(c)
-    tg = plane(tag)
-    valid = plane(mask)
-    h = plane(rngmod.particle_hash(tag, step, params.seed, rounds=rng_rounds))
-    lens = box.lengths
-
-    def mi(d, axis):
-        return d - jnp.round(d / lens[axis]) * lens[axis]
-
-    def selfe(p):
-        return p[:, :, None, :, :]
-
-    def neigh(p, dy, dz, dx):
-        return jnp.roll(p, (-dy, -dz, -dx), (0, 1, 3))[:, :, :, None, :]
-
-    def selfe_s(p):
-        return p[:, :, None, :, :, :]
-
-    def neigh_s(p, dy, dz, dx):
-        return jnp.roll(p, (-dy, -dz, -dx), (0, 1, 3))[:, :, :, None, :, :]
-
-    eye = jnp.eye(k, dtype=bool)[None, None, :, :, None]
-    dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
-    f_acc = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
-    q_acc = jnp.zeros(shape + (ns,), jnp.float32)
-    vir_acc = jnp.zeros(shape, jnp.float32)
-
-    for dy in (-1, 0, 1):
-        for dz in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                drx = mi(selfe(sx) - neigh(sx, dy, dz, dx), 0)
-                dry = mi(selfe(sy) - neigh(sy, dy, dz, dx), 1)
-                drz = mi(selfe(sz) - neigh(sz, dy, dz, dx), 2)
-                dvx = selfe(ux) - neigh(ux, dy, dz, dx)
-                dvy = selfe(uy) - neigh(uy, dy, dz, dx)
-                dvz = selfe(uz) - neigh(uz, dy, dz, dx)
-                hj = neigh(h, dy, dz, dx)
-                hp = rngmod.combine_symmetric(selfe(h), hj)
-                theta = rngmod.uniform_stream(hp, 0)
-                tgj = neigh(tg, dy, dz, dx)
-                sign = jnp.where(selfe(tg) < tgj, 1.0, -1.0)
-                xi = jnp.stack([sign * rngmod.uniform_stream(hp, 2 + s)
-                                for s in range(ns)], axis=-1)
-                ti = selfe(tp)
-                tj = neigh(tp, dy, dz, dx)
-                ok = selfe(valid) & neigh(valid, dy, dz, dx)
-                if dx == 0 and dy == 0 and dz == 0:
-                    ok = ok & ~eye
-                rc = jnp.where(ok, params.rc[ti, tj], 0.0)
-                dr = jnp.stack([drx, dry, drz], -1)
-                dv = jnp.stack([dvx, dvy, dvz], -1)
-                fp, vh = pair_force(dr, dv, theta, params.a[ti, tj],
-                                    params.gamma[ti, tj],
-                                    params.sigma[ti, tj], rc, dt_inv_sqrt,
-                                    params.s_exp)
-                qp = tdpd_flux(dr, selfe_s(cc), neigh_s(cc, dy, dz, dx), xi,
-                               params.kappa_c, params.eps_c, params.rcc,
-                               params.s1, dt_inv_sqrt, ok)
-                for cmp in range(3):
-                    f_acc[cmp] = f_acc[cmp] + jnp.sum(fp[..., cmp], axis=2)
-                q_acc = q_acc + jnp.sum(qp, axis=2)
-                vir_acc = vir_acc + jnp.sum(vh, axis=2)
-
-    f = jnp.stack([f_acc[cmp].reshape(nr) for cmp in range(3)], -1)
-    return f, q_acc.reshape(nr, ns), jnp.sum(vir_acc)
+    h = rngmod.particle_hash(tag, step, params.seed, rounds=rng_rounds)
+    extra = {f"C{s}": c[:, s] for s in range(ns)}
+    channels = make_channels(x, v, tag, mask, h, extra, cfg.ncell,
+                             cfg.capacity)
+    acc = sweep(channels, cfg.ncell, cfg.capacity, (False, False, False),
+                box.lengths, tdpd_pair_fn(params, dt, ns), 4 + ns)
+    f = jnp.stack([acc[0].reshape(nr), acc[1].reshape(nr),
+                   acc[2].reshape(nr)], -1)
+    dcdt = jnp.stack([acc[4 + s].reshape(nr) for s in range(ns)], -1)
+    return f, dcdt, jnp.sum(acc[3])
