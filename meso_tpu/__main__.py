@@ -19,7 +19,7 @@ def main(argv=None):
                          "interval into DIR (view with xprof/tensorboard)")
     args = ap.parse_args(argv)
 
-    from meso_tpu.core.system import run_adaptive, run_bucket
+    from meso_tpu.core.system import run_adaptive, run_bucket_chunked
     from meso_tpu.io.deck import build_from_deck, load_deck
     from meso_tpu.io.dump import write_lammpstrj
     from meso_tpu.io.restart import save_restart
@@ -30,8 +30,13 @@ def main(argv=None):
     logger = ThermoLogger(every=run_cfg.thermo_every, jsonl_path=args.log)
 
     logger.log(system, params, state)
-    runner = run_bucket if system.force_path in ("bucket", "pallas") \
-        else run_adaptive
+    bucketed = system.force_path in ("bucket", "pallas")
+    every = system.cells.rebuild_every if system.cells else 1
+
+    def runner(sy, pa, st, n):
+        if bucketed:
+            return run_bucket_chunked(sy, pa, st, max(n // every, 1), every)
+        return run_adaptive(sy, pa, st, n)
     done = 0
     profiled = False
     while done < steps:
@@ -45,8 +50,12 @@ def main(argv=None):
         else:
             state, diag = runner(system, params, state, n)
         done += n
-        logger.log(system, params, state,
-                   extra={"rebuilds": int(diag["n_rebuilds"])})
+        extra = {}
+        if "n_rebuilds" in diag:
+            extra["rebuilds"] = int(diag["n_rebuilds"])
+        if "worst_skin_ratio" in diag:
+            extra["skin_ratio"] = round(float(diag["worst_skin_ratio"]), 2)
+        logger.log(system, params, state, extra=extra)
         overflow = sum(int(diag[k]) for k in
                        ("cell_overflow", "nlist_overflow", "bucket_overflow")
                        if k in diag)

@@ -445,20 +445,25 @@ def run_bucket_fixed(system: System, params: SystemParams, state: State,
 @partial(jax.jit, static_argnames=("system", "steps_per_chunk"))
 def _bucket_chunk(system: System, params: SystemParams, state: State,
                   steps_per_chunk: int):
-    """One (rebuild + steps) chunk — the body of the host-chunked loop."""
+    """One (rebuild + steps) chunk — the body of the host-chunked loop.
+    Also emits a per-step kinetic-temperature trace (device-side thermo;
+    SURVEY.md §5.5) as a scan output."""
     from meso_tpu.neighbor.bucket_layout import rebuild_buckets
+    from meso_tpu.obs.thermo import kinetic_temperature
 
     step_fn = make_step(system)
     state, of = rebuild_buckets(state, system.cells)
     x_ref = state.x
+    mass = params.mass[state.typ]
 
     def body(s, _):
-        return step_fn(params, s), None
+        s = step_fn(params, s)
+        return s, kinetic_temperature(s.v, mass, s.mask)
 
-    state, _ = jax.lax.scan(body, state, None, length=steps_per_chunk)
+    state, kts = jax.lax.scan(body, state, None, length=steps_per_chunk)
     disp = jnp.sqrt(max_displacement_sq(state.x, x_ref, state.mask,
                                         state.box))
-    return state, of, disp
+    return state, of, disp, kts
 
 
 def run_bucket_chunked(system: System, params: SystemParams, state: State,
@@ -468,11 +473,13 @@ def run_bucket_chunked(system: System, params: SystemParams, state: State,
     per-iteration penalty (PERF_NOTES.md) but per-call dispatch is ~40 us.
     Semantics identical to ``run_bucket_fixed``."""
     half_skin = float(system.cells.skin * 0.5)
-    ofs, disps = [], []
+    ofs, disps, kts = [], [], []
     for _ in range(nchunks):
-        state, of, disp = _bucket_chunk(system, params, state,
-                                        steps_per_chunk)
+        state, of, disp, kt = _bucket_chunk(system, params, state,
+                                            steps_per_chunk)
         ofs.append(of)      # device scalars; no host sync inside the loop
         disps.append(disp)
+        kts.append(kt)
     return state, {"bucket_overflow": jnp.max(jnp.stack(ofs)),
-                   "worst_skin_ratio": jnp.max(jnp.stack(disps)) / half_skin}
+                   "worst_skin_ratio": jnp.max(jnp.stack(disps)) / half_skin,
+                   "kt_trace": jnp.concatenate(kts)}
