@@ -1,0 +1,41 @@
+"""utils: checked invariants, phase timer, builder-deck construction."""
+
+import os
+
+import jax.numpy as jnp
+import pytest
+
+from meso_tpu.utils.checks import check_diag
+from meso_tpu.utils.timer import PhaseTimer
+
+
+def test_check_diag_passes_clean():
+    check_diag({"bucket_overflow": jnp.zeros((), jnp.int32),
+                "worst_skin_ratio": jnp.asarray(0.8)})
+
+
+def test_check_diag_raises_with_hint():
+    with pytest.raises(RuntimeError, match="increase CellConfig.capacity"):
+        check_diag({"cell_overflow": jnp.asarray(3)})
+    with pytest.raises(RuntimeError, match="half-skin"):
+        check_diag({"worst_skin_ratio": jnp.asarray(1.7)})
+
+
+def test_phase_timer_summary():
+    t = PhaseTimer()
+    t.begin("pair")
+    t.begin("neigh")
+    t.end()
+    s = t.summary()
+    assert "pair" in s and "neigh" in s and "total" in s
+
+
+def test_builder_deck_builds():
+    from meso_tpu.io.deck import build_from_deck, load_deck
+    deck = load_deck(os.path.join(os.path.dirname(__file__), "..",
+                                  "golden_decks", "tdpd_diffusion.toml"))
+    deck["model"]["args"]["l"] = 4.0  # shrink for a fast build
+    system, params, state, run_cfg = build_from_deck(deck)
+    assert system.model == "tdpd"
+    assert state.C is not None and state.C.shape[1] == 1
+    assert run_cfg.steps == 600
