@@ -24,11 +24,13 @@ def main(argv=None):
     from meso_tpu.io.dump import write_lammpstrj
     from meso_tpu.io.restart import save_restart
     from meso_tpu.io.thermo import ThermoLogger
+    from meso_tpu.utils.timer import PhaseTimer
 
     system, params, state, run_cfg = build_from_deck(load_deck(args.deck))
     steps = args.steps if args.steps is not None else run_cfg.steps
     logger = ThermoLogger(every=run_cfg.thermo_every, jsonl_path=args.log)
 
+    timer = PhaseTimer()
     logger.log(system, params, state)
     bucketed = system.force_path in ("bucket", "pallas")
     every = system.cells.rebuild_every if system.cells else 1
@@ -48,8 +50,10 @@ def main(argv=None):
                 jax.block_until_ready(state.x)
             profiled = True
         else:
+            timer.begin("run")
             state, diag = runner(system, params, state, n)
         done += n
+        timer.begin("output")
         extra = {}
         if "n_rebuilds" in diag:
             extra["rebuilds"] = int(diag["n_rebuilds"])
@@ -67,6 +71,8 @@ def main(argv=None):
             write_lammpstrj(run_cfg.dump_path, state)
         if run_cfg.restart_every and done % run_cfg.restart_every == 0:
             save_restart(run_cfg.restart_path, state)
+    # LAMMPS-style timing footer (SURVEY.md §5.1)
+    print(timer.summary())
     return 0
 
 
