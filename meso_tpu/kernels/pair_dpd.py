@@ -22,10 +22,14 @@ TPU-native replacement of the reference's hottest CUDA kernel
   the reference's atomics-free property holds by construction;
 * no gather, no scatter, no atomics, no dynamic shapes anywhere.
 
-Restrictions: single coefficient set (all type pairs share
-a/gamma/sigma/rc — true for every BASELINE config) and s_exp=1. Both RNG
-tiers run in-kernel: "fast" (combined per-particle hashes) and "tea"
-(full TEA-`rounds` on the sorted tag pair — reference parity, row 21).
+Multi-type support: when the coefficient tables are (T,T) with T > 1, the
+particle type rides as an extra channel and per-pair a/gamma/sigma/rc are
+resolved in-kernel from an SMEM table by an unrolled select chain over the
+T^2 pair codes (no gathers — Mosaic-friendly; cost grows as T^2 selects
+per neighbor tile, practical for the small type counts DPD decks use).
+s_exp=1 only. Both RNG tiers run in-kernel: "fast" (combined per-particle
+hashes) and "tea" (full TEA-`rounds` on the sorted tag pair — reference
+parity, row 21).
 """
 
 from __future__ import annotations
@@ -54,18 +58,19 @@ def _lane_tile(p: Array, reps: int) -> Array:
 
 
 def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
-            rng_rounds: int, n_chan: int):
-    """refs = [scal, iscal, self, band(dy=0..2), out_ref, bands_scratch].
+            rng_rounds: int, n_chan: int, n_types: int, typ_chan: int):
+    """refs = [scal, iscal, tab, self, band(dy=0..2), out_ref, bands_scratch].
 
     fori_loop over (output z-row, dy band) pairs bounds live temporaries to
     one body (scoped-VMEM stack limit is 16 MB).
     """
     scal_ref = refs[0]
     iscal_ref = refs[1]      # SMEM (1, 2) int32: [step, seed]
-    selfref = refs[2]        # (n_chan, G, 1, K*nx)
-    bands = refs[3:6]        # 3 x (n_chan, G+2, K, nx)
-    out_ref = refs[6]
-    bands_s = refs[7]        # VMEM scratch (3, n_chan, G+2, K, nx)
+    tab_ref = refs[2]        # SMEM (4, max(1, T*T)): a/gamma/sigma/rc tables
+    selfref = refs[3]        # (n_chan, G, 1, K*nx)
+    bands = refs[4:7]        # 3 x (n_chan, G+2, K, nx)
+    out_ref = refs[7]
+    bands_s = refs[8]        # VMEM scratch (3, n_chan, G+2, K, nx)
     a = scal_ref[0, 0]
     gamma = scal_ref[0, 1]
     sigma = scal_ref[0, 2]
@@ -105,6 +110,8 @@ def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
         vs = selfchan(_VALID)
         if rng_mode == "tea":
             tgs = pltpu.bitcast(selfchan(8), jnp.int32)
+        if n_types > 1:
+            tis = selfchan(typ_chan)  # f32 type codes, exact for small ints
 
         fx = jnp.zeros((1, k * nx), jnp.float32)
         fy = jnp.zeros((1, k * nx), jnp.float32)
@@ -121,6 +128,19 @@ def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
                     r = pltpu.roll(p, (-dx) % nx, 1) if dx else p
                     return _lane_tile(r, k)
 
+                if n_types > 1:
+                    # pair code -> unrolled SMEM-table select chain
+                    code = tis * jnp.float32(n_types) + nb(chan(typ_chan))
+                    a = tab_ref[0, 0]
+                    gamma = tab_ref[1, 0]
+                    sigma = tab_ref[2, 0]
+                    rc = tab_ref[3, 0]
+                    for p in range(1, n_types * n_types):
+                        sel = code == jnp.float32(p)
+                        a = jnp.where(sel, tab_ref[0, p], a)
+                        gamma = jnp.where(sel, tab_ref[1, p], gamma)
+                        sigma = jnp.where(sel, tab_ref[2, p], sigma)
+                        rc = jnp.where(sel, tab_ref[3, p], rc)
                 drx = sxs - nb(chan(_SX))
                 # x-wrap minimum image (y/z use shifted halo coords)
                 drx = drx - jnp.round(drx / lx) * lx
@@ -216,6 +236,11 @@ def bucket_forces_pallas(x: Array, v: Array, typ: Array, tag: Array,
             jax.lax.bitcast_convert_type(tag, jnp.float32).reshape(shape))
     elif rng_mode != "fast":
         raise ValueError(f"unknown rng_mode {rng_mode!r}")
+    n_types = params.a.shape[0]
+    typ_chan = -1
+    if n_types > 1:
+        typ_chan = len(chans)
+        chans.append(typ.astype(jnp.float32).reshape(shape))
     n_chan = len(chans)
     planes = jnp.stack(chans)  # (n_chan, ny, nz, k, nx)
 
@@ -243,6 +268,11 @@ def bucket_forces_pallas(x: Array, v: Array, typ: Array, tag: Array,
                      ).reshape(1, 8)
     iscal = jnp.stack([jnp.asarray(step, jnp.int32),
                        params.seed.astype(jnp.int32)]).reshape(1, 2)
+    if n_types > 1:
+        tab = jnp.stack([params.a.reshape(-1), params.gamma.reshape(-1),
+                         params.sigma.reshape(-1), params.rc.reshape(-1)])
+    else:
+        tab = jnp.zeros((4, 1), jnp.float32)
 
     def band_spec(dy):
         # block dim1 covers one (g+2)-row band; bands are consecutive in
@@ -255,6 +285,8 @@ def bucket_forces_pallas(x: Array, v: Array, typ: Array, tag: Array,
     in_specs = [
         pl.BlockSpec((1, 8), lambda cy, czb: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 2), lambda cy, czb: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(tab.shape, lambda cy, czb: (0, 0),
+                     memory_space=pltpu.SMEM),
         pl.BlockSpec((n_chan, g, 1, k * nx),
                      index_map=lambda cy, czb: (0, cy * nzg + czb, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -263,7 +295,8 @@ def bucket_forces_pallas(x: Array, v: Array, typ: Array, tag: Array,
 
     out = pl.pallas_call(
         partial(_kernel, k=k, nx=nx, g=g, rng_mode=rng_mode,
-                rng_rounds=rng_rounds, n_chan=n_chan),
+                rng_rounds=rng_rounds, n_chan=n_chan, n_types=n_types,
+                typ_chan=typ_chan),
         grid=(ny, nzg),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -273,7 +306,7 @@ def bucket_forces_pallas(x: Array, v: Array, typ: Array, tag: Array,
         out_shape=jax.ShapeDtypeStruct((4, ny * nz, 1, k * nx), jnp.float32),
         scratch_shapes=[pltpu.VMEM((3, n_chan, g + 2, k, nx), jnp.float32)],
         interpret=interpret,
-    )(scal, iscal, self_view, *[bands_view] * 3)
+    )(scal, iscal, tab, self_view, *[bands_view] * 3)
 
     out = out.reshape(4, ny, nz, k, nx)
     f = jnp.stack([out[0].reshape(nr), out[1].reshape(nr),

@@ -31,7 +31,7 @@ from meso_tpu.core.state import State, zeros_state
 from meso_tpu.core.system import System, SystemParams, _move_mask, _post_forces
 from meso_tpu.neighbor.cells import CellConfig
 from meso_tpu.ops.dpd import DPDParams
-from meso_tpu.parallel.domain import _pack, _MIG_FIELDS
+from meso_tpu.parallel.domain import _pack, _mig_fields
 
 Array = jax.Array
 AX, AY = "x", "y"
@@ -151,14 +151,13 @@ def _migrate_axis(state: State, axis_name: str, n_dev: int, coord: Array,
     keep = state.mask & ~go_right & ~go_left & ~too_far
     state = state.replace(mask=keep)
 
-    def cat(field, local):
-        return jnp.concatenate([local, recv_l[field], recv_r[field]], axis=0)
+    def cat(field):
+        return jnp.concatenate([getattr(state, field), recv_l[field],
+                                recv_r[field]], axis=0)
 
     merged = state.replace(
-        x=cat("x", state.x), v=cat("v", state.v), f=cat("f", state.f),
-        tag=cat("tag", state.tag), typ=cat("typ", state.typ),
-        image=cat("image", state.image), mol=cat("mol", state.mol),
-        mask=jnp.concatenate([keep, recv_l["mask"], recv_r["mask"]]))
+        mask=jnp.concatenate([keep, recv_l["mask"], recv_r["mask"]]),
+        **{f: cat(f) for f in _mig_fields(state)})
     return merged, of_r + of_l + jnp.sum(too_far)
 
 
@@ -166,131 +165,78 @@ def _migrate_axis(state: State, axis_name: str, n_dev: int, coord: Array,
 # halo exchange + xy-halo force sweep
 # ---------------------------------------------------------------------------
 
-def _exchange_halos(planes: Array, dcfg: Domain2D):
-    """x-halos first (full local extent), then y-halos of the x-extended
-    planes (corners included). planes: (8, ncy_l, nz, K, ncx_l).
-    Returns (8, ncy_l+2, nz, K, ncx_l+2) with pre-shifted wrap coords."""
+def _exchange_halos_channels(channels: dict, dcfg: Domain2D):
+    """Per-channel brick halo exchange: x first (full local extent), then
+    y over the x-extended planes — corner ghosts ride the second exchange
+    for free. Wrap links carry pre-shifted coordinates."""
     nxd, nyd = dcfg.nx_dev, dcfg.ny_dev
     fwd_x = [(i, (i + 1) % nxd) for i in range(nxd)]
     bwd_x = [(i, (i - 1) % nxd) for i in range(nxd)]
-    me_x = jax.lax.axis_index(AX)
-    right_edge = planes[..., -1:]
-    left_edge = planes[..., :1]
-    halo_left = jax.lax.ppermute(right_edge, AX, fwd_x)
-    halo_right = jax.lax.ppermute(left_edge, AX, bwd_x)
-    lx = jnp.float32(dcfg.lx)
-    halo_left = halo_left.at[0].add(jnp.where(me_x == 0, -lx, 0.0))
-    halo_right = halo_right.at[0].add(jnp.where(me_x == nxd - 1, lx, 0.0))
-    ext = jnp.concatenate([halo_left, planes, halo_right], axis=-1)
-
     fwd_y = [(i, (i + 1) % nyd) for i in range(nyd)]
     bwd_y = [(i, (i - 1) % nyd) for i in range(nyd)]
+    me_x = jax.lax.axis_index(AX)
     me_y = jax.lax.axis_index(AY)
-    top_edge = ext[:, -1:]
-    bot_edge = ext[:, :1]
-    halo_bot = jax.lax.ppermute(top_edge, AY, fwd_y)
-    halo_top = jax.lax.ppermute(bot_edge, AY, bwd_y)
+    lx = jnp.float32(dcfg.lx)
     ly = jnp.float32(dcfg.ly)
-    halo_bot = halo_bot.at[1].add(jnp.where(me_y == 0, -ly, 0.0))
-    halo_top = halo_top.at[1].add(jnp.where(me_y == nyd - 1, ly, 0.0))
-    return jnp.concatenate([halo_bot, ext, halo_top], axis=1)
-
-
-def _sweep_xyhalo(padded: Array, box_lengths: Array, params: DPDParams,
-                  dt: float, ncell, capacity: int):
-    """Classic DPD sweep with x AND y halo-padded (z periodic roll).
-
-    padded: (8, ncy+2, nz, K, ncx+2). Returns (f (nr,3), virial)."""
-    nx, ny, nz = ncell
-    k = capacity
-    nr = ny * nz * k * nx
-    sx, sy, sz, ux, uy, uz, hb, valid = [padded[i] for i in range(8)]
-    h = jax.lax.bitcast_convert_type(hb, jnp.uint32)
-
-    def mi_x(d):
-        # global-wrap crossers mid-window (see ops/bucket_dpd.mi_x note)
-        return d - jnp.round(d / box_lengths[0]) * box_lengths[0]
-
-    def mi_y(d):
-        return d - jnp.round(d / box_lengths[1]) * box_lengths[1]
-
-    def mi_z(d):
-        return d - jnp.round(d / box_lengths[2]) * box_lengths[2]
-
-    def selfe(p):
-        return p[1:-1, :, None, :, 1:-1]
-
-    def neigh(p, dy, dz, dx):
-        r = jnp.roll(p, -dz, 1)
-        return r[1 + dy:1 + dy + ny, :, :, None, 1 + dx:1 + dx + nx]
-
-    a = params.a[0, 0]
-    gamma = params.gamma[0, 0]
-    sigma = params.sigma[0, 0]
-    rc = params.rc[0, 0]
-    dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
-    eye = jnp.eye(k, dtype=bool)[None, None, :, :, None]
-
-    shape = (ny, nz, k, nx)
-    fx = jnp.zeros(shape, jnp.float32)
-    fy = jnp.zeros(shape, jnp.float32)
-    fz = jnp.zeros(shape, jnp.float32)
-    vir = jnp.zeros(shape, jnp.float32)
-
-    for dy in (-1, 0, 1):
-        for dz in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                drx = mi_x(selfe(sx) - neigh(sx, dy, dz, dx))
-                dry = mi_y(selfe(sy) - neigh(sy, dy, dz, dx))
-                drz = mi_z(selfe(sz) - neigh(sz, dy, dz, dx))
-                r2 = drx * drx + dry * dry + drz * drz
-                ok = (r2 < rc * rc) & (r2 > 0.0)
-                ok = ok & ((selfe(valid) * neigh(valid, dy, dz, dx)) > 0.5)
-                if dx == 0 and dy == 0 and dz == 0:
-                    ok = ok & ~eye
-                r2s = jnp.where(ok, r2, 1.0)
-                rinv = jax.lax.rsqrt(r2s)
-                r = r2s * rinv
-                w = 1.0 - r / rc
-                dvx = selfe(ux) - neigh(ux, dy, dz, dx)
-                dvy = selfe(uy) - neigh(uy, dy, dz, dx)
-                dvz = selfe(uz) - neigh(uz, dy, dz, dx)
-                ev = (drx * dvx + dry * dvy + drz * dvz) * rinv
-                hj = jnp.roll(h, -dz, 1)[
-                    1 + dy:1 + dy + ny, :, :, None, 1 + dx:1 + dx + nx]
-                theta = rngmod.pair_uniform_fast(
-                    h[1:-1, :, None, :, 1:-1], hj)
-                fmag = (a * w - gamma * (w * w) * ev
-                        + sigma * w * theta * dt_inv_sqrt)
-                fmag = jnp.where(ok, fmag, 0.0)
-                fr = fmag * rinv
-                fx = fx + jnp.sum(fr * drx, axis=2)
-                fy = fy + jnp.sum(fr * dry, axis=2)
-                fz = fz + jnp.sum(fr * drz, axis=2)
-                vir = vir + jnp.sum(0.5 * fmag * r, axis=2)
-
-    f = jnp.stack([fx.reshape(nr), fy.reshape(nr), fz.reshape(nr)], -1)
-    return f, jnp.sum(vir)
+    out = {}
+    for name, p in channels.items():
+        hl = jax.lax.ppermute(p[..., -1:], AX, fwd_x)
+        hr = jax.lax.ppermute(p[..., :1], AX, bwd_x)
+        if name == "x":
+            hl = hl + jnp.where(me_x == 0, -lx, 0.0)
+            hr = hr + jnp.where(me_x == nxd - 1, lx, 0.0)
+        ext = jnp.concatenate([hl, p, hr], axis=-1)
+        hb = jax.lax.ppermute(ext[-1:], AY, fwd_y)
+        ht = jax.lax.ppermute(ext[:1], AY, bwd_y)
+        if name == "y":
+            hb = hb + jnp.where(me_y == 0, -ly, 0.0)
+            ht = ht + jnp.where(me_y == nyd - 1, ly, 0.0)
+        out[name] = jnp.concatenate([hb, ext, ht], axis=0)
+    return out
 
 
 def _halo_forces_2d(state: State, system: System, params: SystemParams,
-                    dcfg: Domain2D, step: Array, x: Array, v: Array):
+                    dcfg: Domain2D, step: Array, x: Array, v: Array,
+                    t=None, c=None):
+    """Model-aware 2-D brick force eval via the generic sweep. Returns
+    (f, aux) with model extras (virial, dTdt/dCdt)."""
+    from meso_tpu.ops.sweep import (classic_pair_fn, edpd_pair_fn,
+                                    make_channels, sweep, tdpd_pair_fn)
+
     cfg = dcfg.cells
     nx, ny, nz = cfg.ncell
     k = cfg.capacity
-    shape = (ny, nz, k, nx)
+    nr = ny * nz * k * nx
     h = rngmod.particle_hash(state.tag, step, params.pair.seed,
                              rounds=system.rng_rounds)
-    planes = jnp.stack([
-        x[:, 0].reshape(shape), x[:, 1].reshape(shape),
-        x[:, 2].reshape(shape),
-        v[:, 0].reshape(shape), v[:, 1].reshape(shape),
-        v[:, 2].reshape(shape),
-        jax.lax.bitcast_convert_type(h, jnp.float32).reshape(shape),
-        state.mask.astype(jnp.float32).reshape(shape)])
-    padded = _exchange_halos(planes, dcfg)
-    return _sweep_xyhalo(padded, state.box.lengths, params.pair, system.dt,
-                         cfg.ncell, k)
+    extra = {}
+    if system.model == "edpd":
+        extra["T"] = t
+        pair_fn = edpd_pair_fn(params.pair, system.dt)
+        n_out = 5
+    elif system.model == "tdpd":
+        ns = params.pair.n_species
+        for sidx in range(ns):
+            extra[f"C{sidx}"] = c[:, sidx]
+        pair_fn = tdpd_pair_fn(params.pair, system.dt, ns)
+        n_out = 4 + ns
+    else:
+        pair_fn = classic_pair_fn(params.pair, system.dt)
+        n_out = 4
+    channels = make_channels(x, v, state.tag, state.mask, h, extra,
+                             cfg.ncell, k)
+    padded = _exchange_halos_channels(channels, dcfg)
+    acc = sweep(padded, cfg.ncell, k, (True, False, True),
+                state.box.lengths, pair_fn, n_out)
+    f = jnp.stack([acc[0].reshape(nr), acc[1].reshape(nr),
+                   acc[2].reshape(nr)], -1)
+    aux = {"virial": jnp.sum(acc[3])}
+    if system.model == "edpd":
+        aux["dTdt"] = acc[4].reshape(nr) / params.pair.cv
+    elif system.model == "tdpd":
+        aux["dCdt"] = jnp.stack(
+            [acc[4 + sidx].reshape(nr) for sidx in range(n_out - 4)], -1)
+    return f, aux
 
 
 def _step_local_2d(system: System, params: SystemParams, dcfg: Domain2D,
@@ -301,11 +247,22 @@ def _step_local_2d(system: System, params: SystemParams, dcfg: Domain2D,
     x1, image1, v_tilde = initial_integrate(
         state.x, state.v, state.f, state.image, state.box,
         system.dt, system.lam, inv_m, move)
-    f_new, _ = _halo_forces_2d(state, system, params, dcfg, new_step, x1,
-                               v_tilde)
+    f_new, aux = _halo_forces_2d(state, system, params, dcfg, new_step, x1,
+                                 v_tilde, state.T, state.C)
     f_new = _post_forces(system, params, state, x1, v_tilde, f_new)
     v1 = final_integrate(state.v, state.f, f_new, system.dt, inv_m, move)
-    return state.replace(x=x1, v=v1, f=f_new, image=image1, step=new_step)
+    new_state = state.replace(x=x1, v=v1, f=f_new, image=image1,
+                              step=new_step)
+    if system.model == "edpd":
+        new_state = new_state.replace(
+            T=state.T + system.dt * jnp.where(move, aux["dTdt"], 0.0),
+            dTdt=aux["dTdt"])
+    elif system.model == "tdpd":
+        new_state = new_state.replace(
+            C=state.C + system.dt * jnp.where(move[:, None],
+                                              aux["dCdt"], 0.0),
+            dCdt=aux["dCdt"])
+    return new_state
 
 
 @partial(jax.jit, static_argnames=("system", "dcfg", "nchunks", "mesh"))
@@ -367,7 +324,10 @@ def distribute_state_2d(state: State, dcfg: Domain2D) -> State:
             idx = np.where(sel)[0]
             if len(idx) > nr_local:
                 raise ValueError(f"brick ({dx},{dy}): {len(idx)} > {nr_local}")
-            local = zeros_state(nr_local, state.box)
+            local = zeros_state(nr_local, state.box,
+                                n_species=0 if state.C is None
+                                else state.C.shape[1],
+                                with_energy=state.T is not None)
             pad = nr_local - len(idx)
 
             def take(a):
@@ -383,7 +343,8 @@ def distribute_state_2d(state: State, dcfg: Domain2D) -> State:
                 image=take(state.image), mol=take(state.mol),
                 mask=jnp.asarray(np.concatenate(
                     [np.ones(len(idx), bool), np.zeros(pad, bool)])),
-                step=state.step)
+                step=state.step,
+                T=take(state.T), C=take(state.C))
             side_x = dcfg.slab_wx / dcfg.cells.ncell[0]
             side_y = dcfg.slab_wy / dcfg.cells.ncell[1]
             local, of = jax.jit(
