@@ -131,30 +131,32 @@ def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
                 if n_types > 1:
                     # pair code -> unrolled SMEM-table select chain
                     code = tis * jnp.float32(n_types) + nb(chan(typ_chan))
-                    a = tab_ref[0, 0]
-                    gamma = tab_ref[1, 0]
-                    sigma = tab_ref[2, 0]
-                    rc = tab_ref[3, 0]
+                    a_ij = tab_ref[0, 0]
+                    g_ij = tab_ref[1, 0]
+                    s_ij = tab_ref[2, 0]
+                    rc_ij = tab_ref[3, 0]
                     for p in range(1, n_types * n_types):
                         sel = code == jnp.float32(p)
-                        a = jnp.where(sel, tab_ref[0, p], a)
-                        gamma = jnp.where(sel, tab_ref[1, p], gamma)
-                        sigma = jnp.where(sel, tab_ref[2, p], sigma)
-                        rc = jnp.where(sel, tab_ref[3, p], rc)
+                        a_ij = jnp.where(sel, tab_ref[0, p], a_ij)
+                        g_ij = jnp.where(sel, tab_ref[1, p], g_ij)
+                        s_ij = jnp.where(sel, tab_ref[2, p], s_ij)
+                        rc_ij = jnp.where(sel, tab_ref[3, p], rc_ij)
+                else:
+                    a_ij, g_ij, s_ij, rc_ij = a, gamma, sigma, rc
                 drx = sxs - nb(chan(_SX))
                 # x-wrap minimum image (y/z use shifted halo coords)
                 drx = drx - jnp.round(drx / lx) * lx
                 dry = sys_ - nb(chan(_SY))
                 drz = szs - nb(chan(_SZ))
                 r2 = drx * drx + dry * dry + drz * drz
-                ok = (r2 < rc * rc) & (r2 > 0.0)
+                ok = (r2 < rc_ij * rc_ij) & (r2 > 0.0)
                 ok = ok & (nb(chan(_VALID)) * vs > 0.5)
                 if dx == 0:
                     ok = ok & ~(self_pair & is_center_row)
                 r2s = jnp.where(ok, r2, 1.0)
                 rinv = jax.lax.rsqrt(r2s)
                 r = r2s * rinv
-                w = 1.0 - r / rc
+                w = 1.0 - r / rc_ij
                 dvx = vxs - nb(chan(_VX))
                 dvy = vys - nb(chan(_VY))
                 dvz = vzs - nb(chan(_VZ))
@@ -169,8 +171,8 @@ def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
                 else:
                     hj = pltpu.bitcast(nb(chan(_H)), jnp.uint32)
                     theta = rngmod.pair_uniform_fast(hs, hj)
-                fmag = (a * w - gamma * (w * w) * ev
-                        + sigma * w * theta * dt_inv_sqrt)
+                fmag = (a_ij * w - g_ij * (w * w) * ev
+                        + s_ij * w * theta * dt_inv_sqrt)
                 fmag = jnp.where(ok, fmag, 0.0)
                 fr = fmag * rinv
                 fx = fx + jnp.sum(fr * drx, axis=0, keepdims=True)

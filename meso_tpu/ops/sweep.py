@@ -205,11 +205,17 @@ def edpd_pair_fn(params, dt: float):
 
 
 def tdpd_pair_fn(params, dt: float, ns: int):
-    """tDPD physics -> (fx, fy, fz, virial, dC_0..dC_{ns-1}) (SURVEY A.3)."""
+    """tDPD physics -> (fx, fy, fz, virial, dC_0..dC_{ns-1}) (SURVEY A.3).
+
+    Full w_dc = (1 - r/rcc)^s1 with its own cutoff rcc (must be <= rc so
+    the rc-based cell stencil covers all transport pairs — asserted by the
+    bucket wrapper)."""
     a = params.a[0, 0]
     gamma = params.gamma[0, 0]
     sigma0 = params.sigma[0, 0]
     rc = params.rc[0, 0]
+    rcc = params.rcc
+    s1 = params.s1
     dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
 
     def fn(dr, sv, nv, ok, hp, sign):
@@ -228,13 +234,17 @@ def tdpd_pair_fn(params, dt: float, ns: int):
         fmag = jnp.where(ok, fmag, 0.0)
         fr = fmag * rinv
         outs = [fr * drx, fr * dry, fr * drz, 0.5 * fmag * r]
+        inside_c = ok & (r2 < rcc * rcc)
+        wdc_base = jnp.maximum(1.0 - r / rcc, 0.0)
+        wdc = jnp.where(s1 == 1.0, wdc_base, jnp.power(wdc_base, s1))
+        wrc = jnp.sqrt(wdc)
         for s in range(ns):
             kap = params.kappa_c[s]
             eps = params.eps_c[s]
             xi = sign * rngmod.uniform_stream(hp, 2 + s)
-            qd = -kap * w * (sv[f"C{s}"] - nv[f"C{s}"])
-            qr = eps * jnp.sqrt(jnp.maximum(w, 0.0)) * xi * dt_inv_sqrt
-            outs.append(jnp.where(ok, qd + qr, 0.0))
+            qd = -kap * wdc * (sv[f"C{s}"] - nv[f"C{s}"])
+            qr = eps * wrc * xi * dt_inv_sqrt
+            outs.append(jnp.where(inside_c, qd + qr, 0.0))
         return tuple(outs)
 
     return fn

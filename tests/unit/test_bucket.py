@@ -115,3 +115,26 @@ def test_pallas_kernel_matches_xla_interpret(rng_mode):
     assert np.abs(np.asarray(f_p)[m] - np.asarray(f_x)[m]).max() / scale < 1e-5
     assert np.abs(np.asarray(f_p)[~m]).max() == 0.0
     assert abs(float(vir_p) - float(vir_x)) / abs(float(vir_x)) < 1e-5
+
+
+def test_pallas_kernel_multitype_matches_dense():
+    """2-type coefficient tables: Pallas (interpret) vs the dense oracle —
+    the in-kernel SMEM select chain resolves per-pair a/gamma/sigma/rc."""
+    from meso_tpu.kernels.pair_dpd import bucket_forces_pallas
+    box, st, cfg, _ = _sys()
+    a = jnp.asarray([[25.0, 40.0], [40.0, 15.0]], jnp.float32)
+    g = jnp.asarray([[4.5, 9.0], [9.0, 2.0]], jnp.float32)
+    params = DPDParams.build(a=a, gamma=g, rc=1.0, kt=1.0, seed=1234,
+                             n_types=2)
+    st = st.replace(typ=(st.tag % 2).astype(jnp.int32))
+    bst = to_bucket_state(st, cfg)
+    step = jnp.int32(7)
+    f_d, vir_d, _ = dense_forces(bst.x, bst.v, bst.typ, bst.tag, bst.mask,
+                                 box, step, params, 0.01, rng_mode="fast")
+    f_p, vir_p = bucket_forces_pallas(
+        bst.x, bst.v, bst.typ, bst.tag, bst.mask, box, step, params, 0.01,
+        cfg, rng_mode="fast", interpret=True)
+    m = np.asarray(bst.mask)
+    scale = np.abs(np.asarray(f_d)).max()
+    assert np.abs(np.asarray(f_p)[m] - np.asarray(f_d)[m]).max() / scale < 1e-5
+    assert abs(float(vir_p) - float(vir_d)) / abs(float(vir_d)) < 1e-5
