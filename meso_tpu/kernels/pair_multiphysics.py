@@ -133,18 +133,25 @@ def _kernel(*refs, k: int, nx: int, model: str, ns: int, n_chan: int,
                 fmag = (a * w - gamma * w2 * ev
                         + sigma0 * w * theta * dt_inv_sqrt)
                 fmag = jnp.where(ok, fmag, 0.0)
+                # transport weight: w_dc = (1 - r/rcc)^s1 with its own
+                # cutoff rcc <= rc (scal slots 6/7 repurposed from edpd)
+                rcc = scal_ref[0, 6]
+                s1 = scal_ref[0, 7]
+                inside_c = ok & (r2 < rcc * rcc)
+                wdc_base = jnp.maximum(1.0 - r / rcc, 0.0)
+                wdc = jnp.where(s1 == 1.0, wdc_base,
+                                jnp.power(wdc_base, s1))
+                wrc = jnp.sqrt(wdc)
                 extra = []
                 for s in range(ns):
                     kap_s = scal_ref[0, 8 + 2 * s]
                     eps_s = scal_ref[0, 9 + 2 * s]
                     ci = selfchan(9 + s) * 1.0
                     cj = nb(chan(9 + s))
-                    # w_dc = w (s1 = 1), w_rc = sqrt(w); same rc as momentum
                     xi = sign * rngmod.uniform_stream(hp, 2 + s)
-                    qd = -kap_s * w * (ci - cj)
-                    qr = eps_s * jnp.sqrt(jnp.maximum(w, 0.0)) * xi \
-                        * dt_inv_sqrt
-                    extra.append(jnp.where(ok, qd + qr, 0.0))
+                    qd = -kap_s * wdc * (ci - cj)
+                    qr = eps_s * wrc * xi * dt_inv_sqrt
+                    extra.append(jnp.where(inside_c, qd + qr, 0.0))
 
             fr = fmag * rinv
             acc = list(acc)
@@ -187,7 +194,7 @@ def bucket_forces_pallas_tdpd(x, v, c, typ, tag, mask, box: Box, step,
                               params, dt: float, cfg: CellConfig,
                               rng_rounds: int = 8, interpret: bool = False):
     """tDPD forces + fluxes via the Pallas kernel. Returns (f, dCdt, virial).
-    Requires s1 == 1 and rcc == rc (asserted by caller convention)."""
+    Full w_dc = (1 - r/rcc)^s1; requires rcc <= rc (rc-based stencil)."""
     ns = params.n_species
     model_chans = [c[:, s] for s in range(ns)]
     per_species = []
@@ -197,7 +204,7 @@ def bucket_forces_pallas_tdpd(x, v, c, typ, tag, mask, box: Box, step,
                 interpret, model="tdpd", ns=ns, model_chans=model_chans,
                 scal_mid=jnp.stack([params.a[0, 0], params.gamma[0, 0],
                                     params.sigma[0, 0], params.rc[0, 0]]),
-                scal_extra=jnp.stack([jnp.float32(0.0), jnp.float32(0.0)]
+                scal_extra=jnp.stack([params.rcc, params.s1]
                                      + per_species),
                 n_out=4 + ns)
     nr = x.shape[0]

@@ -122,9 +122,17 @@ def bucket_forces_tdpd(x, v, c, typ, tag, mask, box: Box, step,
                        params: TDPDParams, dt: float, cfg: CellConfig,
                        rng_rounds: int = 8):
     """Structured tDPD forces over bucket-resident rows via the shared
-    sweep. Requires rcc == rc and s1 == 1 in this path (the dense oracle
-    supports the general forms). Returns (f, dCdt (nr,S), virial)."""
+    sweep. Full w_dc = (1 - r/rcc)^s1; requires rcc <= rc so the rc-based
+    cell stencil covers every transport pair. Returns (f, dCdt, virial)."""
     from meso_tpu.ops.sweep import make_channels, sweep, tdpd_pair_fn
+
+    try:  # static guard only when values are concrete (not under jit)
+        if float(params.rcc) > float(params.rc.max()):
+            raise ValueError(
+                "bucket tDPD path requires rcc <= rc (rc-based stencil): "
+                f"rcc={float(params.rcc)}, rc={float(params.rc.max())}")
+    except jax.errors.ConcretizationTypeError:
+        pass
 
     nr = x.shape[0]
     ns = params.n_species

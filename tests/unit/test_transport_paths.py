@@ -116,3 +116,45 @@ def test_tdpd_pallas_matches_bucket_interpret():
     qs = np.abs(np.asarray(q_x)).max()
     assert np.abs(np.asarray(q_p)[m] - np.asarray(q_x)[m]).max() / qs < 1e-4
     assert abs(float(v_p) - float(v_x)) / abs(float(v_x)) < 1e-5
+
+
+def test_tdpd_general_wdc_bucket_and_pallas_match_dense():
+    """rcc < rc with s1 = 2: both structured paths reproduce the dense
+    oracle's generalized w_dc = (1 - r/rcc)^s1 transport weight."""
+    from meso_tpu.kernels.pair_multiphysics import bucket_forces_pallas_tdpd
+    box, st, cfg = _sys(n_species=1)
+    st = st.replace(C=(1.0 + 0.5 * jnp.cos(st.x[:, 0]))[:, None])
+    params = TDPDParams.build(a=25.0, gamma=4.5, rc=1.0, kt=1.0,
+                              kappa_c=[1.2], eps_c=[0.05],
+                              rcc=0.7, seed=31, s1=2.0)
+    bst = to_bucket_state(st, cfg)
+    step = jnp.int32(9)
+    f_d, q_d, v_d = dense_forces_tdpd(bst.x, bst.v, bst.C, bst.typ, bst.tag,
+                                      bst.mask, box, step, params, 0.01)
+    f_b, q_b, v_b = jax.jit(
+        bucket_forces_tdpd, static_argnames=("dt", "cfg"))(
+        bst.x, bst.v, bst.C, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg)
+    f_p, q_p, v_p = bucket_forces_pallas_tdpd(
+        bst.x, bst.v, bst.C, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg, interpret=True)
+    m = np.asarray(bst.mask)
+    qs = np.abs(np.asarray(q_d)).max()
+    assert qs > 0
+    assert np.abs(np.asarray(q_b)[m] - np.asarray(q_d)[m]).max() / qs < 2e-5
+    assert np.abs(np.asarray(q_p)[m] - np.asarray(q_d)[m]).max() / qs < 1e-4
+    fs = np.abs(np.asarray(f_d)).max()
+    assert np.abs(np.asarray(f_b)[m] - np.asarray(f_d)[m]).max() / fs < 2e-6
+    assert np.abs(np.asarray(f_p)[m] - np.asarray(f_d)[m]).max() / fs < 1e-5
+
+
+def test_tdpd_bucket_rejects_rcc_above_rc():
+    import pytest
+    box, st, cfg = _sys(n_species=1)
+    st = st.replace(C=jnp.ones((st.n, 1)))
+    params = TDPDParams.build(a=25.0, gamma=4.5, rc=1.0, kt=1.0,
+                              kappa_c=[1.0], eps_c=[0.0], rcc=1.5, seed=3)
+    bst = to_bucket_state(st, cfg)
+    with pytest.raises(ValueError, match="rcc <= rc"):
+        bucket_forces_tdpd(bst.x, bst.v, bst.C, bst.typ, bst.tag, bst.mask,
+                           box, jnp.int32(0), params, 0.01, cfg)
