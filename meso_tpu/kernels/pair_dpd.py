@@ -27,7 +27,7 @@ particle type rides as an extra channel and per-pair a/gamma/sigma/rc are
 resolved in-kernel from an SMEM table by an unrolled select chain over the
 T^2 pair codes (no gathers — Mosaic-friendly; cost grows as T^2 selects
 per neighbor tile, practical for the small type counts DPD decks use).
-s_exp=1 only. Both RNG tiers run in-kernel: "fast" (combined per-particle
+Both RNG tiers run in-kernel: "fast" (combined per-particle
 hashes) and "tea" (full TEA-`rounds` on the sorted tag pair — reference
 parity, row 21).
 """
@@ -77,6 +77,7 @@ def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
     rc = scal_ref[0, 3]
     dt_inv_sqrt = scal_ref[0, 4]
     lx = scal_ref[0, 5]
+    s_e = scal_ref[0, 6]   # generalized weight exponent (w_R = w^s)
     if rng_mode == "tea":
         step_u = iscal_ref[0, 0].astype(jnp.uint32)
         seed_u = iscal_ref[0, 1].astype(jnp.uint32)
@@ -157,6 +158,7 @@ def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
                 rinv = jax.lax.rsqrt(r2s)
                 r = r2s * rinv
                 w = 1.0 - r / rc_ij
+                wr = jnp.where(s_e == 1.0, w, jnp.power(w, s_e))
                 dvx = vxs - nb(chan(_VX))
                 dvy = vys - nb(chan(_VY))
                 dvz = vzs - nb(chan(_VZ))
@@ -171,8 +173,8 @@ def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
                 else:
                     hj = pltpu.bitcast(nb(chan(_H)), jnp.uint32)
                     theta = rngmod.pair_uniform_fast(hs, hj)
-                fmag = (a_ij * w - g_ij * (w * w) * ev
-                        + s_ij * w * theta * dt_inv_sqrt)
+                fmag = (a_ij * w - g_ij * (wr * wr) * ev
+                        + s_ij * wr * theta * dt_inv_sqrt)
                 fmag = jnp.where(ok, fmag, 0.0)
                 fr = fmag * rinv
                 fx = fx + jnp.sum(fr * drx, axis=0, keepdims=True)
@@ -266,7 +268,7 @@ def bucket_forces_pallas(x: Array, v: Array, typ: Array, tag: Array,
     scal = jnp.stack([params.a[0, 0], params.gamma[0, 0], params.sigma[0, 0],
                       params.rc[0, 0],
                       jnp.float32(1.0 / jnp.sqrt(dt)),
-                      box.lengths[0], jnp.float32(0), jnp.float32(0)]
+                      box.lengths[0], params.s_exp, jnp.float32(0)]
                      ).reshape(1, 8)
     iscal = jnp.stack([jnp.asarray(step, jnp.int32),
                        params.seed.astype(jnp.int32)]).reshape(1, 2)

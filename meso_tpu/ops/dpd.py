@@ -98,9 +98,11 @@ def pair_force(dr: Array, vij: Array, theta: Array, a: Array, gamma: Array,
     rinv = jax.lax.rsqrt(r2s)
     r = r2s * rinv
     w = 1.0 - r / rc
-    wd = jnp.where(s_exp == 1.0, w * w, jnp.power(w, 2.0 * s_exp))
+    # generalized weights (Fan et al.): w_R = w^s, w_D = w_R^2 (FDT pair)
+    wr = jnp.where(s_exp == 1.0, w, jnp.power(w, s_exp))
+    wd = wr * wr
     ev = jnp.sum(dr * vij, axis=-1) * rinv  # e . v_ij
-    fmag = a * w - gamma * wd * ev + sigma * w * theta * dt_inv_sqrt
+    fmag = a * w - gamma * wd * ev + sigma * wr * theta * dt_inv_sqrt
     fmag = jnp.where(inside, fmag, 0.0)
     f = (fmag * rinv)[..., None] * dr
     virial_half = 0.5 * fmag * r

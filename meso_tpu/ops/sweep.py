@@ -146,6 +146,7 @@ def classic_pair_fn(params, dt: float, rng_mode: str = "fast",
         rinv = jax.lax.rsqrt(r2s)
         r = r2s * rinv
         w = 1.0 - r / rc
+        wr = jnp.where(params.s_exp == 1.0, w, jnp.power(w, params.s_exp))
         ev = (drx * (sv["vx"] - nv["vx"]) + dry * (sv["vy"] - nv["vy"])
               + drz * (sv["vz"] - nv["vz"])) * rinv
         if rng_mode == "tea":
@@ -155,7 +156,8 @@ def classic_pair_fn(params, dt: float, rng_mode: str = "fast",
             # same stream as pair_uniform_fast -> bitwise parity with the
             # single-chip classic bucket/Pallas paths
             theta = rngmod._u32_to_symmetric_uniform(hp)
-        fmag = a * w - gamma * (w * w) * ev + sigma * w * theta * dt_inv_sqrt
+        fmag = a * w - gamma * (wr * wr) * ev + sigma * wr * theta \
+            * dt_inv_sqrt
         fmag = jnp.where(ok, fmag, 0.0)
         fr = fmag * rinv
         return fr * drx, fr * dry, fr * drz, 0.5 * fmag * r

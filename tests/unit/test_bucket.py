@@ -138,3 +138,29 @@ def test_pallas_kernel_multitype_matches_dense():
     scale = np.abs(np.asarray(f_d)).max()
     assert np.abs(np.asarray(f_p)[m] - np.asarray(f_d)[m]).max() / scale < 1e-5
     assert abs(float(vir_p) - float(vir_d)) / abs(float(vir_d)) < 1e-5
+
+
+def test_s_exp_generalized_weights_all_paths_match():
+    """s_exp = 0.5 (generalized w_R = w^s, w_D = w^(2s), Fan et al.):
+    dense oracle, XLA sweep and Pallas kernel agree."""
+    from meso_tpu.kernels.pair_dpd import bucket_forces_pallas
+    box, st, cfg, _ = _sys()
+    params = DPDParams.build(a=25.0, gamma=4.5, rc=1.0, kt=1.0, seed=55,
+                             s_exp=0.5)
+    bst = to_bucket_state(st, cfg)
+    step = jnp.int32(3)
+    f_d, vir_d, _ = dense_forces(bst.x, bst.v, bst.typ, bst.tag, bst.mask,
+                                 box, step, params, 0.01, rng_mode="fast")
+    f_x, vir_x = jax.jit(
+        bucket_forces_xla, static_argnames=("dt", "cfg", "rng_mode"))(
+        bst.x, bst.v, bst.typ, bst.tag, bst.mask, box, step, params, 0.01,
+        cfg, rng_mode="fast")
+    f_p, vir_p = bucket_forces_pallas(
+        bst.x, bst.v, bst.typ, bst.tag, bst.mask, box, step, params, 0.01,
+        cfg, rng_mode="fast", interpret=True)
+    m = np.asarray(bst.mask)
+    scale = np.abs(np.asarray(f_d)).max()
+    assert np.abs(np.asarray(f_x)[m] - np.asarray(f_d)[m]).max() / scale < 2e-6
+    assert np.abs(np.asarray(f_p)[m] - np.asarray(f_d)[m]).max() / scale < 1e-5
+    assert abs(float(vir_x) - float(vir_d)) / abs(float(vir_d)) < 1e-5
+    assert abs(float(vir_p) - float(vir_d)) / abs(float(vir_d)) < 1e-5
