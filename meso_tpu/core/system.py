@@ -124,6 +124,10 @@ def compute_forces(system: System, params: SystemParams, state: State,
         elif system.force_path == "pallas":
             from meso_tpu.kernels.pair_multiphysics import \
                 bucket_forces_pallas_edpd as efn
+            if params.pair.a.shape[0] > 1:
+                raise NotImplementedError(
+                    "eDPD pallas path is single-type; use "
+                    "force_path='bucket' for multi-type tables")
             f, dtdt, virial = efn(
                 x, v, t, state.typ, state.tag, state.mask, state.box, step,
                 params.pair, system.dt, system.cells,
@@ -146,6 +150,10 @@ def compute_forces(system: System, params: SystemParams, state: State,
         elif system.force_path == "pallas":
             from meso_tpu.kernels.pair_multiphysics import \
                 bucket_forces_pallas_tdpd as tfn
+            if params.pair.a.shape[0] > 1:
+                raise NotImplementedError(
+                    "tDPD pallas path is single-type; use "
+                    "force_path='bucket' for multi-type tables")
             f, dcdt, virial = tfn(
                 x, v, c, state.typ, state.tag, state.mask, state.box, step,
                 params.pair, system.dt, system.cells,

@@ -143,8 +143,11 @@ def bucket_forces_edpd(x, v, t, typ, tag, mask, box: Box, step,
     h = rngmod.particle_hash(tag, step, params.seed, rounds=rng_rounds)
     channels = make_channels(x, v, tag, mask, h, {"T": t}, cfg.ncell,
                              cfg.capacity)
+    multitype = params.a.shape[0] > 1
+    if multitype:
+        channels["typ"] = typ.reshape(channels["tag"].shape)
     acc = sweep(channels, cfg.ncell, cfg.capacity, (False, False, False),
-                box.lengths, edpd_pair_fn(params, dt), 5)
+                box.lengths, edpd_pair_fn(params, dt, multitype), 5)
     f = jnp.stack([acc[0].reshape(nr), acc[1].reshape(nr),
                    acc[2].reshape(nr)], -1)
     return f, acc[4].reshape(nr) / params.cv, jnp.sum(acc[3])

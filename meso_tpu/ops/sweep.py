@@ -165,16 +165,26 @@ def classic_pair_fn(params, dt: float, rng_mode: str = "fast",
     return fn
 
 
-def edpd_pair_fn(params, dt: float):
-    """eDPD physics -> (fx, fy, fz, virial, q) (SURVEY A.2)."""
-    a = params.a[0, 0]
-    gamma = params.gamma[0, 0]
-    rc = params.rc[0, 0]
-    kappa = params.kappa[0, 0]
+def edpd_pair_fn(params, dt: float, multitype: bool = False):
+    """eDPD physics -> (fx, fy, fz, virial, q) (SURVEY A.2).
+
+    multitype: a/gamma/rc/kappa from the (T,T) tables via the 'typ'
+    channel (the generalized-FDT sigma is per-pair already)."""
     inv_m = 1.0 / params.mass
     dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
 
     def fn(dr, sv, nv, ok, hp, sign):
+        if multitype:
+            ty_i, ty_j = sv["typ"], nv["typ"]
+            a = params.a[ty_i, ty_j]
+            gamma = params.gamma[ty_i, ty_j]
+            rc = params.rc[ty_i, ty_j]
+            kappa = params.kappa[ty_i, ty_j]
+        else:
+            a = params.a[0, 0]
+            gamma = params.gamma[0, 0]
+            rc = params.rc[0, 0]
+            kappa = params.kappa[0, 0]
         drx, dry, drz = dr
         r2 = drx * drx + dry * dry + drz * drz
         ok = ok & (r2 < rc * rc) & (r2 > 0.0)
@@ -206,21 +216,28 @@ def edpd_pair_fn(params, dt: float):
     return fn
 
 
-def tdpd_pair_fn(params, dt: float, ns: int):
+def tdpd_pair_fn(params, dt: float, ns: int, multitype: bool = False):
     """tDPD physics -> (fx, fy, fz, virial, dC_0..dC_{ns-1}) (SURVEY A.3).
 
     Full w_dc = (1 - r/rcc)^s1 with its own cutoff rcc (must be <= rc so
     the rc-based cell stencil covers all transport pairs — asserted by the
-    bucket wrapper)."""
-    a = params.a[0, 0]
-    gamma = params.gamma[0, 0]
-    sigma0 = params.sigma[0, 0]
-    rc = params.rc[0, 0]
+    bucket wrapper). multitype: momentum tables via the 'typ' channel."""
     rcc = params.rcc
     s1 = params.s1
     dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
 
     def fn(dr, sv, nv, ok, hp, sign):
+        if multitype:
+            ty_i, ty_j = sv["typ"], nv["typ"]
+            a = params.a[ty_i, ty_j]
+            gamma = params.gamma[ty_i, ty_j]
+            sigma0 = params.sigma[ty_i, ty_j]
+            rc = params.rc[ty_i, ty_j]
+        else:
+            a = params.a[0, 0]
+            gamma = params.gamma[0, 0]
+            sigma0 = params.sigma[0, 0]
+            rc = params.rc[0, 0]
         drx, dry, drz = dr
         r2 = drx * drx + dry * dry + drz * drz
         ok = ok & (r2 < rc * rc) & (r2 > 0.0)

@@ -140,8 +140,11 @@ def bucket_forces_tdpd(x, v, c, typ, tag, mask, box: Box, step,
     extra = {f"C{s}": c[:, s] for s in range(ns)}
     channels = make_channels(x, v, tag, mask, h, extra, cfg.ncell,
                              cfg.capacity)
+    multitype = params.a.shape[0] > 1
+    if multitype:
+        channels["typ"] = typ.reshape(channels["tag"].shape)
     acc = sweep(channels, cfg.ncell, cfg.capacity, (False, False, False),
-                box.lengths, tdpd_pair_fn(params, dt, ns), 4 + ns)
+                box.lengths, tdpd_pair_fn(params, dt, ns, multitype), 4 + ns)
     f = jnp.stack([acc[0].reshape(nr), acc[1].reshape(nr),
                    acc[2].reshape(nr)], -1)
     dcdt = jnp.stack([acc[4 + s].reshape(nr) for s in range(ns)], -1)

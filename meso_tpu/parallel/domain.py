@@ -199,7 +199,10 @@ def _halo_forces(state: State, system: System, params: SystemParams,
                              rounds=system.rng_rounds)
     channels = make_channels(x, v, state.tag, state.mask, h, {},
                              cfg.ncell, k)
-    pair_fn = classic_pair_fn(params.pair, system.dt)
+    multitype = params.pair.a.shape[0] > 1
+    if multitype:
+        channels["typ"] = state.typ.reshape(channels["tag"].shape)
+    pair_fn = classic_pair_fn(params.pair, system.dt, multitype=multitype)
     lens = state.box.lengths
 
     # 1) issue halo exchange (async collectives)
@@ -278,18 +281,21 @@ def _halo_forces_model(state: State, system: System, params: SystemParams,
     h = rngmod.particle_hash(state.tag, step, params.pair.seed,
                              rounds=system.rng_rounds)
     extra = {}
+    multitype = params.pair.a.shape[0] > 1
     if system.model == "edpd":
         extra["T"] = t
-        pair_fn = edpd_pair_fn(params.pair, system.dt)
+        pair_fn = edpd_pair_fn(params.pair, system.dt, multitype)
         n_out = 5
     else:
         ns = params.pair.n_species
         for sidx in range(ns):
             extra[f"C{sidx}"] = c[:, sidx]
-        pair_fn = tdpd_pair_fn(params.pair, system.dt, ns)
+        pair_fn = tdpd_pair_fn(params.pair, system.dt, ns, multitype)
         n_out = 4 + ns
     channels = make_channels(x, v, state.tag, state.mask, h, extra,
                              cfg.ncell, k)
+    if multitype:
+        channels["typ"] = state.typ.reshape(channels["tag"].shape)
     padded = _halo_channels_1d(channels, dcfg)
     acc = sweep(padded, cfg.ncell, k, (False, False, True),
                 state.box.lengths, pair_fn, n_out)

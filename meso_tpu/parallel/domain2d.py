@@ -210,21 +210,25 @@ def _halo_forces_2d(state: State, system: System, params: SystemParams,
     h = rngmod.particle_hash(state.tag, step, params.pair.seed,
                              rounds=system.rng_rounds)
     extra = {}
+    multitype = params.pair.a.shape[0] > 1
     if system.model == "edpd":
         extra["T"] = t
-        pair_fn = edpd_pair_fn(params.pair, system.dt)
+        pair_fn = edpd_pair_fn(params.pair, system.dt, multitype)
         n_out = 5
     elif system.model == "tdpd":
         ns = params.pair.n_species
         for sidx in range(ns):
             extra[f"C{sidx}"] = c[:, sidx]
-        pair_fn = tdpd_pair_fn(params.pair, system.dt, ns)
+        pair_fn = tdpd_pair_fn(params.pair, system.dt, ns, multitype)
         n_out = 4 + ns
     else:
-        pair_fn = classic_pair_fn(params.pair, system.dt)
+        pair_fn = classic_pair_fn(params.pair, system.dt,
+                                  multitype=multitype)
         n_out = 4
     channels = make_channels(x, v, state.tag, state.mask, h, extra,
                              cfg.ncell, k)
+    if multitype:
+        channels["typ"] = state.typ.reshape(channels["tag"].shape)
     padded = _exchange_halos_channels(channels, dcfg)
     acc = sweep(padded, cfg.ncell, k, (True, False, True),
                 state.box.lengths, pair_fn, n_out)

@@ -120,3 +120,54 @@ def test_distributed_8dev_invariants_and_kt():
     # every particle is inside its owner's slab
     x = np.asarray(final.x)[np.asarray(final.mask)]
     assert (x >= 0).all() and (x[:, 0] < lx).all()
+
+
+@pytest.mark.slow
+def test_distributed_multitype_matches_single_chip():
+    """Two-type coefficient tables through the 1-D halo sweep: typ channel
+    rides the halo exchange; trajectory matches the single-chip bucket path."""
+    from meso_tpu.core.box import Box
+    from meso_tpu.core.state import create_random
+    from meso_tpu.core.system import setup
+    from meso_tpu.ops.dpd import DPDParams
+
+    n_dev, side, rc, skin = 4, 1.2, 1.0, 0.2
+    lx, lyz, density = 3 * n_dev * side, 4 * side, 3.0
+    n = int(round(density * lx * lyz * lyz))
+    box = Box.orthorhombic(lx, lyz, lyz)
+    state = create_random(jax.random.PRNGKey(2), n, box, kt=1.0)
+    state = state.replace(typ=(state.tag % 2).astype(jnp.int32))
+    a = jnp.asarray([[25.0, 40.0], [40.0, 15.0]], jnp.float32)
+    g = jnp.asarray([[4.5, 9.0], [9.0, 2.0]], jnp.float32)
+    params = SystemParams.build(
+        DPDParams.build(a=a, gamma=g, rc=rc, kt=1.0, seed=4242, n_types=2))
+    system = System.for_fluid([lx, lyz, lyz], rc=rc, density=density,
+                              dt=0.01, skin=skin, rng_mode="fast",
+                              rebuild_every=5)
+    system = system.replace(force_path="bucket")
+    state = setup(system, params, state)
+    dcfg = build_domain(system, n_dev, lx_global=lx, rebuild_every=5)
+
+    mesh = make_mesh_1d(n_dev)
+    dstate = distribute_state(state, dcfg)
+    dstate, diag = run_distributed(system, params, dstate, 3, mesh, dcfg)
+    assert int(np.max(np.asarray(diag["overflow"]))) == 0
+    got = _bytag(collect_state(dstate))
+
+    step_fn = make_step(system)
+
+    @jax.jit
+    def chunk(s):
+        s, of = rebuild_buckets(s, system.cells)
+        def body(c, _):
+            return step_fn(params, c), None
+        s, _ = jax.lax.scan(body, s, None, length=5)
+        return s, of
+
+    sref = state
+    for _ in range(3):
+        sref, of = chunk(sref)
+        assert int(of) == 0
+    want = _bytag(sref)
+    assert got["x"].shape == want["x"].shape
+    assert np.abs(got["x"] - want["x"]).max() < 2e-4

@@ -158,3 +158,55 @@ def test_tdpd_bucket_rejects_rcc_above_rc():
     with pytest.raises(ValueError, match="rcc <= rc"):
         bucket_forces_tdpd(bst.x, bst.v, bst.C, bst.typ, bst.tag, bst.mask,
                            box, jnp.int32(0), params, 0.01, cfg)
+
+
+def test_edpd_multitype_bucket_matches_dense():
+    """(2,2) eDPD tables (a/gamma/rc/kappa) through the sweep 'typ' channel
+    vs the dense oracle."""
+    box, st, cfg = _sys(with_energy=True)
+    st = st.replace(T=1.0 + 0.3 * jnp.sin(st.x[:, 0]),
+                    typ=(st.tag % 2).astype(jnp.int32))
+    a = jnp.asarray([[25.0, 35.0], [35.0, 18.0]], jnp.float32)
+    g = jnp.asarray([[4.5, 6.0], [6.0, 3.0]], jnp.float32)
+    kap = jnp.asarray([[1.5, 0.7], [0.7, 2.2]], jnp.float32)
+    params = EDPDParams.build(a=a, gamma=g, rc=1.0, kappa=kap, cv=10.0,
+                              seed=7, n_types=2)
+    bst = to_bucket_state(st, cfg)
+    step = jnp.int32(12)
+    f_d, q_d, v_d = dense_forces_edpd(bst.x, bst.v, bst.T, bst.typ, bst.tag,
+                                      bst.mask, box, step, params, 0.01)
+    f_b, q_b, v_b = jax.jit(
+        bucket_forces_edpd, static_argnames=("dt", "cfg"))(
+        bst.x, bst.v, bst.T, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg)
+    m = np.asarray(bst.mask)
+    fs = np.abs(np.asarray(f_d)).max()
+    assert np.abs(np.asarray(f_b)[m] - np.asarray(f_d)[m]).max() / fs < 2e-6
+    qs = max(np.abs(np.asarray(q_d)).max(), 1e-9)
+    assert np.abs(np.asarray(q_b)[m] - np.asarray(q_d)[m]).max() / qs < 2e-5
+    assert abs(float(v_b) - float(v_d)) / abs(float(v_d)) < 1e-5
+
+
+def test_tdpd_multitype_bucket_matches_dense():
+    """(2,2) momentum tables in tDPD via the sweep 'typ' channel."""
+    box, st, cfg = _sys(n_species=1)
+    st = st.replace(C=(1.0 + 0.5 * jnp.cos(st.x[:, 0]))[:, None],
+                    typ=(st.tag % 2).astype(jnp.int32))
+    a = jnp.asarray([[25.0, 40.0], [40.0, 15.0]], jnp.float32)
+    g = jnp.asarray([[4.5, 9.0], [9.0, 2.0]], jnp.float32)
+    params = TDPDParams.build(a=a, gamma=g, rc=1.0, kt=1.0, kappa_c=[1.0],
+                              eps_c=[0.1], rcc=1.0, seed=5, n_types=2)
+    bst = to_bucket_state(st, cfg)
+    step = jnp.int32(4)
+    f_d, q_d, v_d = dense_forces_tdpd(bst.x, bst.v, bst.C, bst.typ, bst.tag,
+                                      bst.mask, box, step, params, 0.01)
+    f_b, q_b, v_b = jax.jit(
+        bucket_forces_tdpd, static_argnames=("dt", "cfg"))(
+        bst.x, bst.v, bst.C, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg)
+    m = np.asarray(bst.mask)
+    fs = np.abs(np.asarray(f_d)).max()
+    assert np.abs(np.asarray(f_b)[m] - np.asarray(f_d)[m]).max() / fs < 2e-6
+    qs = np.abs(np.asarray(q_d)).max()
+    assert np.abs(np.asarray(q_b)[m] - np.asarray(q_d)[m]).max() / qs < 2e-5
+    assert abs(float(v_b) - float(v_d)) / abs(float(v_d)) < 1e-5
