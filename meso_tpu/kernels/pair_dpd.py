@@ -58,7 +58,8 @@ def _lane_tile(p: Array, reps: int) -> Array:
 
 
 def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
-            rng_rounds: int, n_chan: int, n_types: int, typ_chan: int):
+            rng_rounds: int, n_chan: int, n_types: int, typ_chan: int,
+            n_excl: int, tag_chan: int, ex_chan: int):
     """refs = [scal, iscal, tab, self, band(dy=0..2), out_ref, bands_scratch].
 
     fori_loop over (output z-row, dy band) pairs bounds live temporaries to
@@ -78,6 +79,7 @@ def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
     dt_inv_sqrt = scal_ref[0, 4]
     lx = scal_ref[0, 5]
     s_e = scal_ref[0, 6]   # generalized weight exponent (w_R = w^s)
+    excl_w = scal_ref[0, 7]  # special_bonds weight for excluded pairs
     if rng_mode == "tea":
         step_u = iscal_ref[0, 0].astype(jnp.uint32)
         seed_u = iscal_ref[0, 1].astype(jnp.uint32)
@@ -113,6 +115,9 @@ def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
             tgs = pltpu.bitcast(selfchan(8), jnp.int32)
         if n_types > 1:
             tis = selfchan(typ_chan)  # f32 type codes, exact for small ints
+        if n_excl:
+            exs = [pltpu.bitcast(selfchan(ex_chan + e), jnp.int32)
+                   for e in range(n_excl)]
 
         fx = jnp.zeros((1, k * nx), jnp.float32)
         fy = jnp.zeros((1, k * nx), jnp.float32)
@@ -176,6 +181,14 @@ def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
                 fmag = (a_ij * w - g_ij * (wr * wr) * ev
                         + s_ij * wr * theta * dt_inv_sqrt)
                 fmag = jnp.where(ok, fmag, 0.0)
+                if n_excl:
+                    # special_bonds: scale pairs whose neighbor tag is in
+                    # this particle's exclusion list
+                    tgj_x = pltpu.bitcast(nb(chan(tag_chan)), jnp.int32)
+                    hit = exs[0] == tgj_x
+                    for e in range(1, n_excl):
+                        hit = hit | (exs[e] == tgj_x)
+                    fmag = fmag * jnp.where(hit, excl_w, 1.0)
                 fr = fmag * rinv
                 fx = fx + jnp.sum(fr * drx, axis=0, keepdims=True)
                 fy = fy + jnp.sum(fr * dry, axis=0, keepdims=True)
@@ -245,6 +258,20 @@ def bucket_forces_pallas(x: Array, v: Array, typ: Array, tag: Array,
     if n_types > 1:
         typ_chan = len(chans)
         chans.append(typ.astype(jnp.float32).reshape(shape))
+    n_excl = 0
+    tag_chan = 8 if rng_mode == "tea" else -1
+    ex_chan = -1
+    if params.excl is not None:
+        n_excl = params.excl.shape[1]
+        if tag_chan < 0:
+            tag_chan = len(chans)
+            chans.append(
+                jax.lax.bitcast_convert_type(tag, jnp.float32).reshape(shape))
+        ex_chan = len(chans)
+        ex = params.excl[tag]                        # (nr, E) gather
+        for e in range(n_excl):
+            chans.append(jax.lax.bitcast_convert_type(
+                ex[:, e], jnp.float32).reshape(shape))
     n_chan = len(chans)
     planes = jnp.stack(chans)  # (n_chan, ny, nz, k, nx)
 
@@ -268,7 +295,9 @@ def bucket_forces_pallas(x: Array, v: Array, typ: Array, tag: Array,
     scal = jnp.stack([params.a[0, 0], params.gamma[0, 0], params.sigma[0, 0],
                       params.rc[0, 0],
                       jnp.float32(1.0 / jnp.sqrt(dt)),
-                      box.lengths[0], params.s_exp, jnp.float32(0)]
+                      box.lengths[0], params.s_exp,
+                      jnp.float32(1.0) if params.excl_w is None
+                      else params.excl_w]
                      ).reshape(1, 8)
     iscal = jnp.stack([jnp.asarray(step, jnp.int32),
                        params.seed.astype(jnp.int32)]).reshape(1, 2)
@@ -300,7 +329,8 @@ def bucket_forces_pallas(x: Array, v: Array, typ: Array, tag: Array,
     out = pl.pallas_call(
         partial(_kernel, k=k, nx=nx, g=g, rng_mode=rng_mode,
                 rng_rounds=rng_rounds, n_chan=n_chan, n_types=n_types,
-                typ_chan=typ_chan),
+                typ_chan=typ_chan, n_excl=n_excl, tag_chan=tag_chan,
+                ex_chan=ex_chan),
         grid=(ny, nzg),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(

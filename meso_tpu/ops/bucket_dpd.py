@@ -37,8 +37,15 @@ def bucket_forces_xla(x: Array, v: Array, typ: Array, tag: Array, mask: Array,
     multitype = params.a.shape[0] > 1
     if multitype:
         channels["typ"] = typ.reshape(channels["tag"].shape)
+    n_excl = 0
+    if params.excl is not None:
+        n_excl = params.excl.shape[1]
+        ex = params.excl[tag]                       # (nr, E) gather
+        for e in range(n_excl):
+            channels[f"EX{e}"] = ex[:, e].reshape(channels["tag"].shape)
     pair_fn = classic_pair_fn(params, dt, rng_mode=rng_mode, step=step,
-                              rng_rounds=rng_rounds, multitype=multitype)
+                              rng_rounds=rng_rounds, multitype=multitype,
+                              n_excl=n_excl)
     acc = sweep(channels, cfg.ncell, cfg.capacity, (False, False, False),
                 box.lengths, pair_fn, 4)
     f = jnp.stack([acc[0].reshape(nr), acc[1].reshape(nr),

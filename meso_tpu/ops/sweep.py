@@ -120,11 +120,13 @@ def make_channels(x, v, tag, mask, h, extra: dict, ncell, capacity: int):
 
 def classic_pair_fn(params, dt: float, rng_mode: str = "fast",
                     step=None, rng_rounds: int = 8,
-                    multitype: bool = False):
+                    multitype: bool = False, n_excl: int = 0):
     """Per-pair physics for classic DPD -> (fx, fy, fz, virial).
 
     multitype: look coefficients up from the (T,T) tables via the 'typ'
-    channel; tea: full TEA on sorted tag pairs (reference parity)."""
+    channel; tea: full TEA on sorted tag pairs (reference parity);
+    n_excl > 0: special_bonds — channels EX0..EX{n_excl-1} carry each
+    particle's excluded tags and matching pairs are scaled by excl_w."""
     dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
 
     def fn(dr, sv, nv, ok, hp, sign):
@@ -159,6 +161,11 @@ def classic_pair_fn(params, dt: float, rng_mode: str = "fast",
         fmag = a * w - gamma * (wr * wr) * ev + sigma * wr * theta \
             * dt_inv_sqrt
         fmag = jnp.where(ok, fmag, 0.0)
+        if n_excl:
+            hit = sv["EX0"] == nv["tag"]
+            for e in range(1, n_excl):
+                hit = hit | (sv[f"EX{e}"] == nv["tag"])
+            fmag = fmag * jnp.where(hit, params.excl_w, 1.0)
         fr = fmag * rinv
         return fr * drx, fr * dry, fr * drz, 0.5 * fmag * r
 

@@ -164,3 +164,41 @@ def test_s_exp_generalized_weights_all_paths_match():
     assert np.abs(np.asarray(f_p)[m] - np.asarray(f_d)[m]).max() / scale < 1e-5
     assert abs(float(vir_x) - float(vir_d)) / abs(float(vir_d)) < 1e-5
     assert abs(float(vir_p) - float(vir_d)) / abs(float(vir_d)) < 1e-5
+
+
+def test_special_bonds_bucket_and_pallas_match_dense():
+    """special_bonds (row 7) through the sweep EX channels and the Pallas
+    in-kernel tag-list compare: excluded pairs scaled by excl_w, parity
+    with the dense oracle."""
+    from meso_tpu.kernels.pair_dpd import bucket_forces_pallas
+    from meso_tpu.ops.dpd import build_exclusions
+    box, st, cfg, params = _sys()
+    # chain-neighbor exclusions over consecutive tags (1-based convention)
+    st = st.replace(tag=st.tag + 1)
+    n = st.n
+    bonds = np.stack([np.arange(1, n), np.arange(2, n + 1)], -1)
+    excl, w = build_exclusions(bonds, n, weight=0.25, max_excl=2)
+    params = params.replace(excl=excl, excl_w=w)
+    bst = to_bucket_state(st, cfg)
+    step = jnp.int32(6)
+    f_d, vir_d, _ = dense_forces(bst.x, bst.v, bst.typ, bst.tag, bst.mask,
+                                 box, step, params, 0.01, rng_mode="fast")
+    f_x, vir_x = jax.jit(
+        bucket_forces_xla, static_argnames=("dt", "cfg", "rng_mode"))(
+        bst.x, bst.v, bst.typ, bst.tag, bst.mask, box, step, params, 0.01,
+        cfg, rng_mode="fast")
+    f_p, vir_p = bucket_forces_pallas(
+        bst.x, bst.v, bst.typ, bst.tag, bst.mask, box, step, params, 0.01,
+        cfg, rng_mode="fast", interpret=True)
+    m = np.asarray(bst.mask)
+    scale = np.abs(np.asarray(f_d)).max()
+    assert np.abs(np.asarray(f_x)[m] - np.asarray(f_d)[m]).max() / scale < 2e-6
+    assert np.abs(np.asarray(f_p)[m] - np.asarray(f_d)[m]).max() / scale < 1e-5
+    assert abs(float(vir_x) - float(vir_d)) / abs(float(vir_d)) < 1e-5
+    assert abs(float(vir_p) - float(vir_d)) / abs(float(vir_d)) < 1e-5
+    # weight actually bites: zero-weight forces differ from unexcluded
+    f_u, _, _ = dense_forces(bst.x, bst.v, bst.typ, bst.tag, bst.mask,
+                             box, step, params.replace(excl=None,
+                                                       excl_w=None),
+                             0.01, rng_mode="fast")
+    assert np.abs(np.asarray(f_d)[m] - np.asarray(f_u)[m]).max() > 1e-3
