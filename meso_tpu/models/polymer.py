@@ -38,8 +38,13 @@ def polymer_melt(l: float = 10.0, density: float = 3.0, n_chains: int = 10,
                  gamma: float = 4.5, rc: float = 1.0, fene_k: float = 30.0,
                  fene_r0: float = 1.5, dt: float = 0.01, seed: int = 551,
                  init_seed: int = 5, force_path: str = "nlist",
-                 rng_mode: str = "fast", skin: float = 0.3):
-    """FENE chains + solvent. Returns (system, params, state)."""
+                 rng_mode: str = "fast", skin: float = 0.3,
+                 special_weight: float | None = None):
+    """FENE chains + solvent. Returns (system, params, state).
+
+    special_weight: if set, bonded-neighbor pairs get their non-bonded DPD
+    force scaled by this weight (LAMMPS ``special_bonds``; works on every
+    force path including the Pallas kernel)."""
     rs = np.random.RandomState(init_seed)
     n_poly = n_chains * chain_len
     n_total = int(round(density * l ** 3))
@@ -75,9 +80,13 @@ def polymer_melt(l: float = 10.0, density: float = 3.0, n_chains: int = 10,
         bond_type=jnp.zeros(len(bonds), jnp.int32),
         bond_coeffs=jnp.asarray([[fene_k, fene_r0, 0.0, 0.0]], jnp.float32))
 
-    params = SystemParams.build(
-        DPDParams.build(a=a, gamma=gamma, rc=rc, kt=kt, seed=seed)
-    ).replace(bonded=bonded)
+    pair = DPDParams.build(a=a, gamma=gamma, rc=rc, kt=kt, seed=seed)
+    if special_weight is not None:
+        from meso_tpu.ops.dpd import build_exclusions
+        excl, w = build_exclusions(np.asarray(bonds, np.int32), n_total,
+                                   weight=special_weight, max_excl=2)
+        pair = pair.replace(excl=excl, excl_w=w)
+    params = SystemParams.build(pair).replace(bonded=bonded)
     system = System.for_fluid([l] * 3, rc=rc, density=density, dt=dt,
                               skin=skin, rng_mode=rng_mode)
     system = system.replace(bond_style="fene", n_tags=n_total,
