@@ -52,3 +52,45 @@ def load_restart(path: str) -> State:
             kw.setdefault(name, None)
         box = Box(lo=jnp.asarray(z["box_lo"]), hi=jnp.asarray(z["box_hi"]))
         return State(box=box, step=jnp.asarray(z["step"]), **kw)
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (SURVEY.md §5.4 alternative): async-capable, sharding-aware
+# checkpointing for multi-chip runs. Optional — the npz codec above stays
+# the dependency-free default.
+# ---------------------------------------------------------------------------
+
+def save_restart_orbax(path: str, state: State) -> None:
+    """Checkpoint the State pytree with Orbax (StandardCheckpointer).
+
+    `path` must be a directory path (created if missing). Sharded arrays
+    are saved with their shardings, so distributed states (leading device
+    axes from distribute_state*) round-trip without gathering to host.
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    payload = {"step": state.step, "box_lo": state.box.lo,
+               "box_hi": state.box.hi}
+    for name in _FIELDS:
+        val = getattr(state, name)
+        if val is not None:
+            payload[name] = val
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(os.path.abspath(path), payload, force=True)
+    ckpt.wait_until_finished()
+
+
+def load_restart_orbax(path: str) -> State:
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    payload = ckpt.restore(os.path.abspath(path))
+    kw = {name: jnp.asarray(payload[name]) if name in payload else None
+          for name in _FIELDS}
+    box = Box(lo=jnp.asarray(payload["box_lo"]),
+              hi=jnp.asarray(payload["box_hi"]))
+    return State(box=box, step=jnp.asarray(payload["step"]), **kw)

@@ -89,3 +89,25 @@ def test_cli_runs_deck(tmp_path):
         cwd=os.path.join(os.path.dirname(__file__), "..", ".."), timeout=600)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "temp" in out.stdout
+
+
+def test_orbax_restart_roundtrip(tmp_path):
+    """Orbax backend (SURVEY 5.4 alt): bitwise State roundtrip incl.
+    optional fields."""
+    import jax
+    import numpy as np
+
+    from meso_tpu.core.box import Box
+    from meso_tpu.core.state import create_random
+    from meso_tpu.io.restart import load_restart_orbax, save_restart_orbax
+
+    box = Box.cubic(5.0)
+    st = create_random(jax.random.PRNGKey(3), 64, box, kt=1.0,
+                       with_energy=True)
+    p = str(tmp_path / "ck")
+    save_restart_orbax(p, st)
+    back = load_restart_orbax(p)
+    assert (np.asarray(back.x) == np.asarray(st.x)).all()
+    assert (np.asarray(back.T) == np.asarray(st.T)).all()
+    assert back.C is None
+    assert int(back.step) == int(st.step)
