@@ -17,6 +17,10 @@ def main(argv=None):
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one thermo "
                          "interval into DIR (view with xprof/tensorboard)")
+    ap.add_argument("--autotune", action="store_true",
+                    help="measure (skin, rebuild_every) candidates on this "
+                         "deck before the run and use the fastest safe "
+                         "config (SURVEY 2b row 29)")
     args = ap.parse_args(argv)
 
     from meso_tpu.core.system import run_adaptive, run_bucket_chunked
@@ -26,8 +30,35 @@ def main(argv=None):
     from meso_tpu.io.thermo import ThermoLogger
     from meso_tpu.utils.timer import PhaseTimer
 
-    system, params, state, run_cfg = build_from_deck(load_deck(args.deck))
+    deck = load_deck(args.deck)
+    system, params, state, run_cfg = build_from_deck(deck)
     steps = args.steps if args.steps is not None else run_cfg.steps
+    if args.autotune:
+        if system.force_path not in ("bucket", "pallas"):
+            print("--autotune requires a bucketed force path", file=sys.stderr)
+            return 1
+        from meso_tpu.utils.autotune import autotune_fluid
+
+        def make_system(skin, every):
+            import dataclasses as _dc
+            d = dict(deck)
+            neigh = dict(d.get("neighbor", {}))
+            neigh["skin"] = skin
+            neigh["rebuild_every"] = every
+            d["neighbor"] = neigh
+            if "model" in d:  # builder decks take skin via model args
+                d["model"] = dict(d["model"])
+                d["model"]["args"] = dict(d["model"].get("args", {}))
+                d["model"]["args"]["skin"] = skin
+            sy, _, _, _ = build_from_deck(d)
+            return sy.replace(cells=_dc.replace(sy.cells,
+                                                rebuild_every=every))
+
+        print("autotuning (skin, rebuild_every):", flush=True)
+        best, _ = autotune_fluid(make_system, params, state)
+        system = make_system(best.skin, best.rebuild_every)
+        from meso_tpu.core.system import setup as _setup
+        state = _setup(system, params, state)
     logger = ThermoLogger(every=run_cfg.thermo_every, jsonl_path=args.log)
 
     timer = PhaseTimer()
