@@ -200,10 +200,13 @@ def _post_forces(system: System, params: SystemParams, state: State,
     return f
 
 
-def make_step(system: System):
-    """Build the pure one-step function for this system."""
+def make_step(system: System, with_aux: bool = False):
+    """Build the pure one-step function for this system.
 
-    def step_fn(params: SystemParams, state: State, nlist_idx=None) -> State:
+    with_aux=True: step_fn returns (state, aux) where aux carries the pair
+    'virial' (device-side thermo without a second force pass)."""
+
+    def step_fn(params: SystemParams, state: State, nlist_idx=None):
         inv_m = params.inv_mass[state.typ]
         move = _move_mask(system, state.typ, state.mask)
         new_step = state.step + 1
@@ -244,6 +247,8 @@ def make_step(system: System):
         for fx in system.fixes:
             if hasattr(fx, "end_of_step"):
                 new_state = fx.end_of_step(system, params, new_state)
+        if with_aux:
+            return new_state, {"virial": aux["virial"]}
         return new_state
 
     return step_fn
@@ -459,19 +464,20 @@ def _bucket_chunk(system: System, params: SystemParams, state: State,
     from meso_tpu.neighbor.bucket_layout import rebuild_buckets
     from meso_tpu.obs.thermo import kinetic_temperature
 
-    step_fn = make_step(system)
+    step_fn = make_step(system, with_aux=True)
     state, of = rebuild_buckets(state, system.cells)
     x_ref = state.x
     mass = params.mass[state.typ]
 
     def body(s, _):
-        s = step_fn(params, s)
-        return s, kinetic_temperature(s.v, mass, s.mask)
+        s, aux = step_fn(params, s)
+        return s, (kinetic_temperature(s.v, mass, s.mask), aux["virial"])
 
-    state, kts = jax.lax.scan(body, state, None, length=steps_per_chunk)
+    state, (kts, virs) = jax.lax.scan(body, state, None,
+                                      length=steps_per_chunk)
     disp = jnp.sqrt(max_displacement_sq(state.x, x_ref, state.mask,
                                         state.box))
-    return state, of, disp, kts
+    return state, of, disp, (kts, virs)
 
 
 def run_bucket_chunked(system: System, params: SystemParams, state: State,
@@ -481,13 +487,21 @@ def run_bucket_chunked(system: System, params: SystemParams, state: State,
     per-iteration penalty (PERF_NOTES.md) but per-call dispatch is ~40 us.
     Semantics identical to ``run_bucket_fixed``."""
     half_skin = float(system.cells.skin * 0.5)
-    ofs, disps, kts = [], [], []
+    ofs, disps, kts, virs = [], [], [], []
     for _ in range(nchunks):
-        state, of, disp, kt = _bucket_chunk(system, params, state,
-                                            steps_per_chunk)
+        state, of, disp, (kt, vir) = _bucket_chunk(system, params, state,
+                                                   steps_per_chunk)
         ofs.append(of)      # device scalars; no host sync inside the loop
         disps.append(disp)
         kts.append(kt)
+        virs.append(vir)
+    kt_trace = jnp.concatenate(kts)
+    vir_trace = jnp.concatenate(virs)
+    # P = (sum m v^2 + virial) / (3V) with sum m v^2 = dof*kT ~ 3(N-1) kT
+    n = jnp.sum(state.mask.astype(jnp.float32))
+    vol = jnp.prod(state.box.lengths)
+    p_trace = (3.0 * (n - 1.0) * kt_trace + vir_trace) / (3.0 * vol)
     return state, {"bucket_overflow": jnp.max(jnp.stack(ofs)),
                    "worst_skin_ratio": jnp.max(jnp.stack(disps)) / half_skin,
-                   "kt_trace": jnp.concatenate(kts)}
+                   "kt_trace": kt_trace, "virial_trace": vir_trace,
+                   "pressure_trace": p_trace}

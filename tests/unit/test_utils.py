@@ -39,3 +39,25 @@ def test_builder_deck_builds():
     assert system.model == "tdpd"
     assert state.C is not None and state.C.shape[1] == 1
     assert run_cfg.steps == 600
+
+
+def test_pressure_trace_in_chunks():
+    """Device-side running thermo (SURVEY 5.5): per-step kT/virial/pressure
+    traces from run_bucket_chunked match the direct observable."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from meso_tpu.core.system import run_bucket_chunked
+    from meso_tpu.models.classic import classic_fluid
+    from meso_tpu.obs import pressure
+
+    system, params, state = classic_fluid(l=6.0, force_path="bucket")
+    state, diag = run_bucket_chunked(system, params, state, 3, 5)
+    assert diag["kt_trace"].shape == (15,)
+    p_direct = float(pressure(state.v, params.mass[state.typ], state.mask,
+                              diag["virial_trace"][-1],
+                              jnp.prod(state.box.lengths)))
+    assert abs(float(diag["pressure_trace"][-1]) - p_direct) \
+        / p_direct < 5e-3
+    assert np.isfinite(np.asarray(diag["pressure_trace"])).all()
