@@ -117,3 +117,53 @@ class FixMomentumZero:
             mobile = mobile & (state.typ != t)
         v = jnp.where(do & mobile[:, None], state.v - vcom, state.v)
         return state.replace(v=v)
+
+
+@dataclass(frozen=True)
+class FixSetForce:
+    """`fix setforce` analog: override force components on selected
+    particles (by type, or all mobile); None leaves a component untouched.
+    Classic use: pin wall beads (0,0,0) or constrain a direction."""
+
+    fx: Optional[float] = None
+    fy: Optional[float] = None
+    fz: Optional[float] = None
+    typ: Optional[int] = None
+
+    def post_force(self, system, params, state, x, v_tilde, f):
+        sel = state.mask
+        if self.typ is not None:
+            sel = sel & (state.typ == self.typ)
+        for i, c in enumerate((self.fx, self.fy, self.fz)):
+            if c is not None:
+                f = f.at[:, i].set(jnp.where(sel, jnp.float32(c), f[:, i]))
+        return f
+
+
+@dataclass(frozen=True)
+class FixSourceC:
+    """tDPD per-species source/reaction term (SURVEY.md §2b row 23
+    'optional source/reaction term'): dC_s/dt += S_s - k_s C_s applied
+    end-of-step (first-order splitting) to mobile particles inside an
+    optional slab region along ``axis``."""
+
+    source: Tuple[float, ...] = (0.0,)
+    rate: Tuple[float, ...] = (0.0,)
+    axis: Optional[int] = None
+    lo: float = 0.0
+    hi: float = 0.0
+
+    def end_of_step(self, system, params, state):
+        if state.C is None:
+            return state
+        sel = state.mask
+        for t in system.frozen_types:
+            sel = sel & (state.typ != t)
+        if self.axis is not None:
+            xa = state.x[:, self.axis]
+            sel = sel & (xa >= self.lo) & (xa < self.hi)
+        s = jnp.asarray(self.source, jnp.float32)
+        k = jnp.asarray(self.rate, jnp.float32)
+        dc = system.dt * (s - k * state.C)
+        return state.replace(C=jnp.where(sel[:, None], state.C + dc,
+                                         state.C))

@@ -111,3 +111,23 @@ def test_orbax_restart_roundtrip(tmp_path):
     assert (np.asarray(back.T) == np.asarray(st.T)).all()
     assert back.C is None
     assert int(back.step) == int(st.step)
+
+
+def test_polymer_special_deck_builds_and_steps():
+    """Golden deck: special_bonds polymer melt on the bucket path builds and
+    the exclusions reach the pair params."""
+    import jax.numpy as jnp
+
+    from meso_tpu.core.system import run_bucket_chunked
+    from meso_tpu.io.deck import build_from_deck, load_deck
+
+    deck = load_deck(os.path.join(os.path.dirname(__file__), "..",
+                                  "golden_decks", "polymer_special.toml"))
+    system, params, state, run_cfg = build_from_deck(deck)
+    assert params.pair.excl is not None
+    assert float(params.pair.excl_w) == 0.5
+    assert system.force_path == "bucket"
+    state, diag = run_bucket_chunked(system, params, state, 2,
+                                     system.cells.rebuild_every)
+    assert int(diag["bucket_overflow"]) == 0
+    assert bool(jnp.isfinite(state.x).all())

@@ -61,3 +61,39 @@ def test_pressure_trace_in_chunks():
     assert abs(float(diag["pressure_trace"][-1]) - p_direct) \
         / p_direct < 5e-3
     assert np.isfinite(np.asarray(diag["pressure_trace"])).all()
+
+
+def test_fix_setforce_and_source_c():
+    """fix setforce (row 15) zeroes chosen components; FixSourceC (row 23)
+    applies S - k*C inside its slab only."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from meso_tpu.core.box import Box
+    from meso_tpu.core.state import create_random
+    from meso_tpu.core.system import System, SystemParams, make_step, setup
+    from meso_tpu.ops.dpd import DPDParams
+    from meso_tpu.ops.fixes import FixSetForce, FixSourceC
+
+    box = Box.cubic(5.0)
+    st = create_random(jax.random.PRNGKey(0), 300, box, kt=1.0, n_species=1)
+    st = st.replace(C=jnp.ones((300, 1)))
+    params = SystemParams.build_raw(
+        __import__("meso_tpu.ops.tdpd", fromlist=["TDPDParams"]).TDPDParams
+        .build(a=25.0, gamma=4.5, rc=1.0, kt=1.0, kappa_c=[0.0],
+               eps_c=[0.0], rcc=1.0, seed=3))
+    system = System(dt=0.01, force_path="dense", model="tdpd",
+                    rng_mode="fast",
+                    fixes=(FixSetForce(fz=0.0),
+                           FixSourceC(source=(2.0,), rate=(0.0,),
+                                      axis=0, lo=0.0, hi=2.5)))
+    st = setup(system, params, st)
+    s1 = make_step(system)(params, st)
+    assert float(jnp.abs(s1.f[:, 2]).max()) == 0.0
+    # region membership is evaluated on the post-drift positions
+    inside = np.asarray((s1.x[:, 0] >= 0.0) & (s1.x[:, 0] < 2.5))
+    c1 = np.asarray(s1.C[:, 0])
+    # source adds dt*S inside the slab (on top of zero pair flux)
+    assert np.allclose(c1[inside], 1.0 + 0.01 * 2.0, atol=1e-6)
+    assert np.allclose(c1[~inside], 1.0, atol=1e-6)
