@@ -107,3 +107,20 @@ def test_frozen_wall_beads_do_not_move():
             moved = max(moved, np.abs(
                 x_now[i] - pos_by_tag[int(tags0[i])]).max())
     assert moved == 0.0
+
+
+@pytest.mark.slow
+def test_muller_plathe_viscosity():
+    """fix viscosity analog (row 15): reverse-NEMD momentum swaps give a
+    linear profile whose slope + imposed flux yield eta ~ 1.0 for the
+    standard GW fluid (rho=3, a=25, gamma=4.5) — cross-checks the
+    Poiseuille estimate with an independent method."""
+    from meso_tpu.models.classic import classic_fluid
+    from meso_tpu.obs.viscosity import run_viscosity_mp
+
+    system, params, state = classic_fluid(l=8.0, force_path="bucket",
+                                          skin=0.4)
+    eta, det = run_viscosity_mp(system, params, state, nswaps=150,
+                                swap_every=10)
+    assert det["flux"] > 0
+    assert 0.6 < eta < 1.6, (eta, det["flux"], det["slope"])
