@@ -21,6 +21,9 @@ def main(argv=None):
                     help="measure (skin, rebuild_every) candidates on this "
                          "deck before the run and use the fastest safe "
                          "config (SURVEY 2b row 29)")
+    ap.add_argument("--var", action="append", default=[], metavar="K=V",
+                    help="override a [variables] entry (repeatable); "
+                         "numeric values are auto-coerced")
     args = ap.parse_args(argv)
 
     from meso_tpu.core.system import run_adaptive, run_bucket_chunked
@@ -30,7 +33,17 @@ def main(argv=None):
     from meso_tpu.io.thermo import ThermoLogger
     from meso_tpu.utils.timer import PhaseTimer
 
-    deck = load_deck(args.deck)
+    overrides = {}
+    for kv in args.var:
+        k, _, v = kv.partition("=")
+        try:
+            overrides[k] = int(v)
+        except ValueError:
+            try:
+                overrides[k] = float(v)
+            except ValueError:
+                overrides[k] = v
+    deck = load_deck(args.deck, overrides=overrides or None)
     system, params, state, run_cfg = build_from_deck(deck)
     steps = args.steps if args.steps is not None else run_cfg.steps
     if args.autotune:

@@ -42,9 +42,45 @@ class RunConfig:
     restart_path: str = "restart.npz"
 
 
-def load_deck(path: str) -> dict:
+def _substitute(obj, variables: dict):
+    """Recursive ``${name}`` substitution (the LAMMPS ``variable``/``$x``
+    analog, SURVEY.md §2a row 2). A string that is exactly one ``${name}``
+    keeps the variable's native type (float/int/list); embedded references
+    stringify."""
+    if isinstance(obj, dict):
+        return {k: _substitute(v, variables) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_substitute(v, variables) for v in obj]
+    if isinstance(obj, str):
+        import re
+        m = re.fullmatch(r"\$\{(\w+)\}", obj)
+        if m:
+            name = m.group(1)
+            if name not in variables:
+                raise KeyError(f"deck variable ${{{name}}} undefined")
+            return variables[name]
+        return re.sub(r"\$\{(\w+)\}",
+                      lambda mm: str(variables[mm.group(1)]), obj)
+    return obj
+
+
+def load_deck(path: str, overrides: dict | None = None) -> dict:
+    """Load a TOML deck. The optional ``[variables]`` table defines values
+    referenced elsewhere as ``"${name}"``; ``overrides`` (e.g. from the CLI
+    ``--var name=value``) replace them before substitution."""
     with open(path, "rb") as fh:
-        return tomllib.load(fh)
+        deck = tomllib.load(fh)
+    variables = dict(deck.pop("variables", {}))
+    if overrides:
+        for k, v in overrides.items():
+            variables[k] = v
+    # variables may reference earlier variables (one pass, like LAMMPS)
+    resolved = {}
+    for k, v in variables.items():
+        resolved[k] = _substitute(v, resolved)
+    if resolved:
+        deck = _substitute(deck, resolved)
+    return deck
 
 
 _BUILDERS = {

@@ -131,3 +131,37 @@ def test_polymer_special_deck_builds_and_steps():
                                      system.cells.rebuild_every)
     assert int(diag["bucket_overflow"]) == 0
     assert bool(jnp.isfinite(state.x).all())
+
+
+def test_deck_variables_substitution(tmp_path):
+    """LAMMPS variable/$x analog: [variables] + ${name} substitution with
+    CLI-style overrides and type preservation."""
+    from meso_tpu.io.deck import load_deck
+
+    p = tmp_path / "d.toml"
+    p.write_text('''
+[variables]
+L = 6.0
+dens = 3.0
+tag = "run_${L}"
+
+[box]
+lengths = ["${L}", "${L}", "${L}"]
+
+[atoms]
+density = "${dens}"
+
+[run]
+steps = 100
+label = "${tag}"
+''')
+    deck = load_deck(str(p))
+    assert deck["box"]["lengths"] == [6.0, 6.0, 6.0]
+    assert deck["atoms"]["density"] == 3.0
+    assert deck["run"]["label"] == "run_6.0"
+    deck2 = load_deck(str(p), overrides={"L": 8.0})
+    assert deck2["box"]["lengths"] == [8.0, 8.0, 8.0]
+    import pytest
+    (tmp_path / "bad.toml").write_text('[box]\nlengths = ["${nope}", 1, 1]\n')
+    with pytest.raises(KeyError):
+        load_deck(str(tmp_path / "bad.toml"))
