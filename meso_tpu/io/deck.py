@@ -78,9 +78,7 @@ def load_deck(path: str, overrides: dict | None = None) -> dict:
     resolved = {}
     for k, v in variables.items():
         resolved[k] = _substitute(v, resolved)
-    if resolved:
-        deck = _substitute(deck, resolved)
-    return deck
+    return _substitute(deck, resolved)
 
 
 _BUILDERS = {
