@@ -97,3 +97,40 @@ def test_fix_setforce_and_source_c():
     # source adds dt*S inside the slab (on top of zero pair flux)
     assert np.allclose(c1[inside], 1.0 + 0.01 * 2.0, atol=1e-6)
     assert np.allclose(c1[~inside], 1.0, atol=1e-6)
+
+
+def test_regions_set_delete_count():
+    """region/group/set/delete_atoms analogs (row 10)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from meso_tpu.core.box import Box
+    from meso_tpu.core.region import (Block, Complement, Cylinder, Sphere,
+                                      Union, count_in_region,
+                                      delete_in_region, set_type_in_region)
+    from meso_tpu.core.state import create_random
+
+    box = Box.cubic(10.0)
+    st = create_random(jax.random.PRNGKey(1), 2000, box, kt=1.0)
+    slab = Block(lo=(0, 0, 0), hi=(10, 10, 2.0))
+    ball = Sphere(center=(5, 5, 5), radius=2.0)
+    tube = Cylinder(axis=2, c1=5.0, c2=5.0, radius=1.5)
+
+    st2 = set_type_in_region(st, slab, 1)
+    inside = np.asarray(slab.inside(st.x))
+    assert (np.asarray(st2.typ)[inside] == 1).all()
+    assert (np.asarray(st2.typ)[~inside] == 0).all()
+
+    n_ball = int(count_in_region(st, ball))
+    frac = n_ball / 2000
+    vol_frac = (4 / 3 * np.pi * 8) / 1000
+    assert abs(frac - vol_frac) < 0.02
+
+    st3 = delete_in_region(st, Union((ball, tube)))
+    assert int(st3.n_valid()) == 2000 - int(count_in_region(
+        st, Union((ball, tube))))
+    assert int(count_in_region(st3, ball)) == 0
+
+    assert int(count_in_region(st, Complement(slab))) == 2000 - int(
+        count_in_region(st, slab))
