@@ -395,6 +395,12 @@ def run_distributed(system: System, params: SystemParams, dstate: State,
 def build_domain(system: System, n_dev: int, cap_mig: int | None = None,
                  rebuild_every: int | None = None,
                  lx_global: float | None = None) -> DomainConfig:
+    if system.bond_style is not None:
+        raise NotImplementedError(
+            "distributed bonded forces are not implemented: a chain split "
+            "across bricks would silently lose partners (tag-space bonded "
+            "needs ghost-by-tag exchange — round-2 ledger). Run bonded "
+            "systems single-chip or on the ensemble axis.")
     g = system.cells
     ncx, ny, nz = g.ncell
     if ncx % n_dev:

@@ -61,6 +61,12 @@ class Domain2D:
 def build_domain2d(system: System, nx_dev: int, ny_dev: int, lx: float,
                    ly: float, cap_mig: int | None = None,
                    rebuild_every: int | None = None) -> Domain2D:
+    if system.bond_style is not None:
+        raise NotImplementedError(
+            "distributed bonded forces are not implemented: a chain split "
+            "across bricks would silently lose partners (tag-space bonded "
+            "needs ghost-by-tag exchange — round-2 ledger). Run bonded "
+            "systems single-chip or on the ensemble axis.")
     g = system.cells
     ncx, ncy, ncz = g.ncell
     if ncx % nx_dev or ncy % ny_dev:

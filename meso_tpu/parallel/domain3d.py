@@ -68,6 +68,12 @@ def build_domain3d(system: System, nx_dev: int, ny_dev: int, nz_dev: int,
                    lx: float, ly: float, lz: float,
                    cap_mig: int | None = None,
                    rebuild_every: int | None = None) -> Domain3D:
+    if system.bond_style is not None:
+        raise NotImplementedError(
+            "distributed bonded forces are not implemented: a chain split "
+            "across bricks would silently lose partners (tag-space bonded "
+            "needs ghost-by-tag exchange — round-2 ledger). Run bonded "
+            "systems single-chip or on the ensemble axis.")
     g = system.cells
     ncx, ncy, ncz = g.ncell
     if ncx % nx_dev or ncy % ny_dev or ncz % nz_dev:

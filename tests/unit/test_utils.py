@@ -134,3 +134,16 @@ def test_regions_set_delete_count():
 
     assert int(count_in_region(st, Complement(slab))) == 2000 - int(
         count_in_region(st, slab))
+
+
+def test_distributed_build_rejects_bonded():
+    """Distributed bonded is a round-2 item; the builders refuse loudly
+    instead of silently losing chain partners across bricks."""
+    import pytest
+
+    from meso_tpu.models.polymer import polymer_melt
+    from meso_tpu.parallel import build_domain
+
+    system, params, state = polymer_melt(l=8.0, force_path="bucket")
+    with pytest.raises(NotImplementedError, match="bonded"):
+        build_domain(system, 2, lx_global=8.0)
