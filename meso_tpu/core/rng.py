@@ -158,3 +158,14 @@ def maxwell_velocities(key: Array, n: int, kt: float, mass, dim: int = 3,
     dof = dim * (n - 1)
     scale = jnp.sqrt(dof * kt / ke2)
     return v * scale
+
+
+def pair_hash_tea(tag_i, tag_j, step, seed, rounds: int = 8) -> Array:
+    """Symmetric per-pair hash from full TEA on the sorted tag pair — the
+    reference-parity counter (SURVEY.md §3.3). Feed to ``uniform_stream``
+    for models that need several independent noises per pair (eDPD heat,
+    tDPD per-species fluxes)."""
+    lo = jnp.minimum(tag_i, tag_j)
+    hi = jnp.maximum(tag_i, tag_j)
+    v0, _ = tea(lo, hi, _u32(step), _u32(seed), rounds=rounds)
+    return v0

@@ -114,20 +114,21 @@ def compute_forces(system: System, params: SystemParams, state: State,
             from meso_tpu.ops.edpd import dense_forces_edpd as efn
             f, dtdt, virial = efn(
                 x, v, t, state.typ, state.tag, state.mask, state.box, step,
-                params.pair, system.dt, rng_rounds=system.rng_rounds)
+                params.pair, system.dt, rng_rounds=system.rng_rounds,
+                rng_mode=system.rng_mode)
         elif system.force_path == "bucket":
             from meso_tpu.ops.edpd import bucket_forces_edpd as efn
             f, dtdt, virial = efn(
                 x, v, t, state.typ, state.tag, state.mask, state.box, step,
                 params.pair, system.dt, system.cells,
-                rng_rounds=system.rng_rounds)
+                rng_rounds=system.rng_rounds, rng_mode=system.rng_mode)
         elif system.force_path == "pallas":
             from meso_tpu.kernels.pair_multiphysics import \
                 bucket_forces_pallas_edpd as efn
-            if params.pair.a.shape[0] > 1:
+            if params.pair.a.shape[0] > 1 or system.rng_mode != "fast":
                 raise NotImplementedError(
-                    "eDPD pallas path is single-type; use "
-                    "force_path='bucket' for multi-type tables")
+                    "eDPD pallas path is single-type/fast-RNG; use "
+                    "force_path='bucket' for multi-type or tea")
             f, dtdt, virial = efn(
                 x, v, t, state.typ, state.tag, state.mask, state.box, step,
                 params.pair, system.dt, system.cells,
@@ -140,20 +141,21 @@ def compute_forces(system: System, params: SystemParams, state: State,
             from meso_tpu.ops.tdpd import dense_forces_tdpd as tfn
             f, dcdt, virial = tfn(
                 x, v, c, state.typ, state.tag, state.mask, state.box, step,
-                params.pair, system.dt, rng_rounds=system.rng_rounds)
+                params.pair, system.dt, rng_rounds=system.rng_rounds,
+                rng_mode=system.rng_mode)
         elif system.force_path == "bucket":
             from meso_tpu.ops.tdpd import bucket_forces_tdpd as tfn
             f, dcdt, virial = tfn(
                 x, v, c, state.typ, state.tag, state.mask, state.box, step,
                 params.pair, system.dt, system.cells,
-                rng_rounds=system.rng_rounds)
+                rng_rounds=system.rng_rounds, rng_mode=system.rng_mode)
         elif system.force_path == "pallas":
             from meso_tpu.kernels.pair_multiphysics import \
                 bucket_forces_pallas_tdpd as tfn
-            if params.pair.a.shape[0] > 1:
+            if params.pair.a.shape[0] > 1 or system.rng_mode != "fast":
                 raise NotImplementedError(
-                    "tDPD pallas path is single-type; use "
-                    "force_path='bucket' for multi-type tables")
+                    "tDPD pallas path is single-type/fast-RNG; use "
+                    "force_path='bucket' for multi-type or tea")
             f, dcdt, virial = tfn(
                 x, v, c, state.typ, state.tag, state.mask, state.box, step,
                 params.pair, system.dt, system.cells,

@@ -99,26 +99,31 @@ def edpd_pair(dr, vij, t_i, t_j, theta, zeta, a, gamma, rc, kappa,
     return f, q, virial_half
 
 
-def _pair_noises(tag_i, tag_j, step, seed, rounds):
-    """(theta symmetric, zeta antisymmetric) from one pair-hash."""
-    h_i = rngmod.particle_hash(tag_i, step, seed, rounds=rounds)
-    h_j = rngmod.particle_hash(tag_j, step, seed, rounds=rounds)
-    h = rngmod.combine_symmetric(h_i, h_j)
+def _pair_noises(tag_i, tag_j, step, seed, rounds, rng_mode="fast"):
+    """(theta symmetric, zeta antisymmetric) from one pair-hash. rng_mode
+    'tea' uses the reference-parity TEA hash of the sorted tag pair."""
+    if rng_mode == "tea":
+        h = rngmod.pair_hash_tea(tag_i, tag_j, step, seed, rounds=rounds)
+    else:
+        h_i = rngmod.particle_hash(tag_i, step, seed, rounds=rounds)
+        h_j = rngmod.particle_hash(tag_j, step, seed, rounds=rounds)
+        h = rngmod.combine_symmetric(h_i, h_j)
     theta = rngmod.uniform_stream(h, 0)
     sign = jnp.where(tag_i < tag_j, 1.0, -1.0).astype(jnp.float32)
     zeta = sign * rngmod.uniform_stream(h, 1)
     return theta, zeta
 
 
-@partial(jax.jit, static_argnames=("dt", "rng_rounds"))
+@partial(jax.jit, static_argnames=("dt", "rng_rounds", "rng_mode"))
 def dense_forces_edpd(x, v, t, typ, tag, mask, box: Box, step, params:
-                      EDPDParams, dt: float, rng_rounds: int = 8):
+                      EDPDParams, dt: float, rng_rounds: int = 8,
+                      rng_mode: str = "fast"):
     """O(N^2) eDPD oracle. Returns (f, dTdt, virial)."""
     n = x.shape[0]
     dr = box.min_image(x[:, None, :] - x[None, :, :])
     vij = v[:, None, :] - v[None, :, :]
     theta, zeta = _pair_noises(tag[:, None], tag[None, :], step, params.seed,
-                               rng_rounds)
+                               rng_rounds, rng_mode)
     ti = typ[:, None]
     tj = typ[None, :]
     valid = (mask[:, None] & mask[None, :]) & ~jnp.eye(n, dtype=bool)
@@ -134,7 +139,7 @@ def dense_forces_edpd(x, v, t, typ, tag, mask, box: Box, step, params:
 
 def bucket_forces_edpd(x, v, t, typ, tag, mask, box: Box, step,
                        params: EDPDParams, dt: float, cfg: CellConfig,
-                       rng_rounds: int = 8):
+                       rng_rounds: int = 8, rng_mode: str = "fast"):
     """Structured eDPD forces over bucket-resident rows via the shared
     sweep (ops/sweep.py). Returns (f (nr,3), dTdt (nr,), virial)."""
     from meso_tpu.ops.sweep import edpd_pair_fn, make_channels, sweep
@@ -147,7 +152,9 @@ def bucket_forces_edpd(x, v, t, typ, tag, mask, box: Box, step,
     if multitype:
         channels["typ"] = typ.reshape(channels["tag"].shape)
     acc = sweep(channels, cfg.ncell, cfg.capacity, (False, False, False),
-                box.lengths, edpd_pair_fn(params, dt, multitype), 5)
+                box.lengths,
+                edpd_pair_fn(params, dt, multitype, rng_mode=rng_mode,
+                             step=step, rng_rounds=rng_rounds), 5)
     f = jnp.stack([acc[0].reshape(nr), acc[1].reshape(nr),
                    acc[2].reshape(nr)], -1)
     return f, acc[4].reshape(nr) / params.cv, jnp.sum(acc[3])

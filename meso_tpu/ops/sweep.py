@@ -172,15 +172,21 @@ def classic_pair_fn(params, dt: float, rng_mode: str = "fast",
     return fn
 
 
-def edpd_pair_fn(params, dt: float, multitype: bool = False):
+def edpd_pair_fn(params, dt: float, multitype: bool = False,
+                 rng_mode: str = "fast", step=None, rng_rounds: int = 8):
     """eDPD physics -> (fx, fy, fz, virial, q) (SURVEY A.2).
 
     multitype: a/gamma/rc/kappa from the (T,T) tables via the 'typ'
-    channel (the generalized-FDT sigma is per-pair already)."""
+    channel (the generalized-FDT sigma is per-pair already). rng_mode
+    'tea': the pair hash is full TEA on the sorted tag pair (reference
+    parity) instead of the combined per-particle hashes."""
     inv_m = 1.0 / params.mass
     dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
 
     def fn(dr, sv, nv, ok, hp, sign):
+        if rng_mode == "tea":
+            hp = rngmod.pair_hash_tea(sv["tag"], nv["tag"], step,
+                                      params.seed, rounds=rng_rounds)
         if multitype:
             ty_i, ty_j = sv["typ"], nv["typ"]
             a = params.a[ty_i, ty_j]
@@ -223,17 +229,22 @@ def edpd_pair_fn(params, dt: float, multitype: bool = False):
     return fn
 
 
-def tdpd_pair_fn(params, dt: float, ns: int, multitype: bool = False):
+def tdpd_pair_fn(params, dt: float, ns: int, multitype: bool = False,
+                 rng_mode: str = "fast", step=None, rng_rounds: int = 8):
     """tDPD physics -> (fx, fy, fz, virial, dC_0..dC_{ns-1}) (SURVEY A.3).
 
     Full w_dc = (1 - r/rcc)^s1 with its own cutoff rcc (must be <= rc so
     the rc-based cell stencil covers all transport pairs — asserted by the
-    bucket wrapper). multitype: momentum tables via the 'typ' channel."""
+    bucket wrapper). multitype: momentum tables via the 'typ' channel.
+    rng_mode 'tea': reference-parity TEA pair hash."""
     rcc = params.rcc
     s1 = params.s1
     dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
 
     def fn(dr, sv, nv, ok, hp, sign):
+        if rng_mode == "tea":
+            hp = rngmod.pair_hash_tea(sv["tag"], nv["tag"], step,
+                                      params.seed, rounds=rng_rounds)
         if multitype:
             ty_i, ty_j = sv["typ"], nv["typ"]
             a = params.a[ty_i, ty_j]

@@ -86,10 +86,14 @@ def tdpd_flux(dr, c_i, c_j, xi, kappa_c, eps_c, rcc, s1, dt_inv_sqrt,
     return jnp.where(inside[..., None], q_d + q_r, 0.0)
 
 
-def _noises(tag_i, tag_j, step, seed, rounds, n_species):
-    h_i = rngmod.particle_hash(tag_i, step, seed, rounds=rounds)
-    h_j = rngmod.particle_hash(tag_j, step, seed, rounds=rounds)
-    h = rngmod.combine_symmetric(h_i, h_j)
+def _noises(tag_i, tag_j, step, seed, rounds, n_species,
+            rng_mode="fast"):
+    if rng_mode == "tea":
+        h = rngmod.pair_hash_tea(tag_i, tag_j, step, seed, rounds=rounds)
+    else:
+        h_i = rngmod.particle_hash(tag_i, step, seed, rounds=rounds)
+        h_j = rngmod.particle_hash(tag_j, step, seed, rounds=rounds)
+        h = rngmod.combine_symmetric(h_i, h_j)
     theta = rngmod.uniform_stream(h, 0)
     sign = jnp.where(tag_i < tag_j, 1.0, -1.0).astype(jnp.float32)
     xi = jnp.stack([sign * rngmod.uniform_stream(h, 2 + s)
@@ -97,15 +101,16 @@ def _noises(tag_i, tag_j, step, seed, rounds, n_species):
     return theta, xi
 
 
-@partial(jax.jit, static_argnames=("dt", "rng_rounds"))
+@partial(jax.jit, static_argnames=("dt", "rng_rounds", "rng_mode"))
 def dense_forces_tdpd(x, v, c, typ, tag, mask, box: Box, step,
-                      params: TDPDParams, dt: float, rng_rounds: int = 8):
+                      params: TDPDParams, dt: float, rng_rounds: int = 8,
+                      rng_mode: str = "fast"):
     """O(N^2) tDPD oracle. Returns (f, dCdt, virial)."""
     n = x.shape[0]
     dr = box.min_image(x[:, None, :] - x[None, :, :])
     vij = v[:, None, :] - v[None, :, :]
     theta, xi = _noises(tag[:, None], tag[None, :], step, params.seed,
-                        rng_rounds, params.n_species)
+                        rng_rounds, params.n_species, rng_mode)
     ti, tj = typ[:, None], typ[None, :]
     valid = (mask[:, None] & mask[None, :]) & ~jnp.eye(n, dtype=bool)
     rc = jnp.where(valid, params.rc[ti, tj], 0.0)
@@ -120,7 +125,7 @@ def dense_forces_tdpd(x, v, c, typ, tag, mask, box: Box, step,
 
 def bucket_forces_tdpd(x, v, c, typ, tag, mask, box: Box, step,
                        params: TDPDParams, dt: float, cfg: CellConfig,
-                       rng_rounds: int = 8):
+                       rng_rounds: int = 8, rng_mode: str = "fast"):
     """Structured tDPD forces over bucket-resident rows via the shared
     sweep. Full w_dc = (1 - r/rcc)^s1; requires rcc <= rc so the rc-based
     cell stencil covers every transport pair. Returns (f, dCdt, virial)."""
@@ -144,7 +149,9 @@ def bucket_forces_tdpd(x, v, c, typ, tag, mask, box: Box, step,
     if multitype:
         channels["typ"] = typ.reshape(channels["tag"].shape)
     acc = sweep(channels, cfg.ncell, cfg.capacity, (False, False, False),
-                box.lengths, tdpd_pair_fn(params, dt, ns, multitype), 4 + ns)
+                box.lengths,
+                tdpd_pair_fn(params, dt, ns, multitype, rng_mode=rng_mode,
+                             step=step, rng_rounds=rng_rounds), 4 + ns)
     f = jnp.stack([acc[0].reshape(nr), acc[1].reshape(nr),
                    acc[2].reshape(nr)], -1)
     dcdt = jnp.stack([acc[4 + s].reshape(nr) for s in range(ns)], -1)

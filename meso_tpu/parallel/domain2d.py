@@ -219,13 +219,17 @@ def _halo_forces_2d(state: State, system: System, params: SystemParams,
     multitype = params.pair.a.shape[0] > 1
     if system.model == "edpd":
         extra["T"] = t
-        pair_fn = edpd_pair_fn(params.pair, system.dt, multitype)
+        pair_fn = edpd_pair_fn(params.pair, system.dt, multitype,
+                               rng_mode=system.rng_mode, step=step,
+                               rng_rounds=system.rng_rounds)
         n_out = 5
     elif system.model == "tdpd":
         ns = params.pair.n_species
         for sidx in range(ns):
             extra[f"C{sidx}"] = c[:, sidx]
-        pair_fn = tdpd_pair_fn(params.pair, system.dt, ns, multitype)
+        pair_fn = tdpd_pair_fn(params.pair, system.dt, ns, multitype,
+                               rng_mode=system.rng_mode, step=step,
+                               rng_rounds=system.rng_rounds)
         n_out = 4 + ns
     else:
         pair_fn = classic_pair_fn(params.pair, system.dt,

@@ -210,3 +210,49 @@ def test_tdpd_multitype_bucket_matches_dense():
     qs = np.abs(np.asarray(q_d)).max()
     assert np.abs(np.asarray(q_b)[m] - np.asarray(q_d)[m]).max() / qs < 2e-5
     assert abs(float(v_b) - float(v_d)) / abs(float(v_d)) < 1e-5
+
+
+def test_transport_tea_tier_bucket_matches_dense():
+    """Reference-parity TEA pair hash (row 21) for eDPD and tDPD: bucket
+    paths match the dense oracles bitwise-identically-seeded, and the tea
+    stream differs from fast (it actually switched)."""
+    # eDPD
+    box, st, cfg = _sys(with_energy=True)
+    st = st.replace(T=1.0 + 0.3 * jnp.sin(st.x[:, 0]))
+    ep = EDPDParams.build(a=25.0, gamma=4.5, rc=1.0, kappa=1.5, cv=10.0,
+                          seed=7)
+    bst = to_bucket_state(st, cfg)
+    step = jnp.int32(12)
+    f_d, q_d, _ = dense_forces_edpd(bst.x, bst.v, bst.T, bst.typ, bst.tag,
+                                    bst.mask, box, step, ep, 0.01,
+                                    rng_mode="tea")
+    f_b, q_b, _ = jax.jit(
+        bucket_forces_edpd, static_argnames=("dt", "cfg", "rng_mode"))(
+        bst.x, bst.v, bst.T, bst.typ, bst.tag, bst.mask, box, step, ep,
+        0.01, cfg, rng_mode="tea")
+    f_f, _, _ = dense_forces_edpd(bst.x, bst.v, bst.T, bst.typ, bst.tag,
+                                  bst.mask, box, step, ep, 0.01,
+                                  rng_mode="fast")
+    m = np.asarray(bst.mask)
+    fs = np.abs(np.asarray(f_d)).max()
+    assert np.abs(np.asarray(f_b)[m] - np.asarray(f_d)[m]).max() / fs < 2e-6
+    assert np.abs(np.asarray(f_f)[m] - np.asarray(f_d)[m]).max() / fs > 1e-3
+
+    # tDPD
+    box, st, cfg = _sys(n_species=1)
+    st = st.replace(C=(1.0 + 0.5 * jnp.cos(st.x[:, 0]))[:, None])
+    tp = TDPDParams.build(a=25.0, gamma=4.5, rc=1.0, kt=1.0, kappa_c=[1.0],
+                          eps_c=[0.2], rcc=1.0, seed=5)
+    bst = to_bucket_state(st, cfg)
+    f_d, q_d, _ = dense_forces_tdpd(bst.x, bst.v, bst.C, bst.typ, bst.tag,
+                                    bst.mask, box, step, tp, 0.01,
+                                    rng_mode="tea")
+    f_b, q_b2, _ = jax.jit(
+        bucket_forces_tdpd, static_argnames=("dt", "cfg", "rng_mode"))(
+        bst.x, bst.v, bst.C, bst.typ, bst.tag, bst.mask, box, step, tp,
+        0.01, cfg, rng_mode="tea")
+    m = np.asarray(bst.mask)
+    fs = np.abs(np.asarray(f_d)).max()
+    qs = np.abs(np.asarray(q_d)).max()
+    assert np.abs(np.asarray(f_b)[m] - np.asarray(f_d)[m]).max() / fs < 2e-6
+    assert np.abs(np.asarray(q_b2)[m] - np.asarray(q_d)[m]).max() / qs < 2e-5
