@@ -125,14 +125,14 @@ def compute_forces(system: System, params: SystemParams, state: State,
         elif system.force_path == "pallas":
             from meso_tpu.kernels.pair_multiphysics import \
                 bucket_forces_pallas_edpd as efn
-            if params.pair.a.shape[0] > 1 or system.rng_mode != "fast":
+            if params.pair.a.shape[0] > 1:
                 raise NotImplementedError(
-                    "eDPD pallas path is single-type/fast-RNG; use "
-                    "force_path='bucket' for multi-type or tea")
+                    "eDPD pallas path is single-type; use "
+                    "force_path='bucket' for multi-type tables")
             f, dtdt, virial = efn(
                 x, v, t, state.typ, state.tag, state.mask, state.box, step,
                 params.pair, system.dt, system.cells,
-                rng_rounds=system.rng_rounds)
+                rng_rounds=system.rng_rounds, rng_mode=system.rng_mode)
         else:
             raise ValueError(f"edpd does not support {system.force_path!r}")
         return f, {"virial": virial, "dTdt": dtdt}
@@ -152,14 +152,14 @@ def compute_forces(system: System, params: SystemParams, state: State,
         elif system.force_path == "pallas":
             from meso_tpu.kernels.pair_multiphysics import \
                 bucket_forces_pallas_tdpd as tfn
-            if params.pair.a.shape[0] > 1 or system.rng_mode != "fast":
+            if params.pair.a.shape[0] > 1:
                 raise NotImplementedError(
-                    "tDPD pallas path is single-type/fast-RNG; use "
-                    "force_path='bucket' for multi-type or tea")
+                    "tDPD pallas path is single-type; use "
+                    "force_path='bucket' for multi-type tables")
             f, dcdt, virial = tfn(
                 x, v, c, state.typ, state.tag, state.mask, state.box, step,
                 params.pair, system.dt, system.cells,
-                rng_rounds=system.rng_rounds)
+                rng_rounds=system.rng_rounds, rng_mode=system.rng_mode)
         else:
             raise ValueError(f"tdpd does not support {system.force_path!r}")
         return f, {"virial": virial, "dCdt": dcdt}

@@ -38,12 +38,13 @@ def _lane_tile(p: Array, reps: int) -> Array:
 
 
 def _kernel(*refs, k: int, nx: int, model: str, ns: int, n_chan: int,
-            n_out: int):
+            n_out: int, rng_mode: str, rng_rounds: int):
     scal_ref = refs[0]
-    selfref = refs[1]
-    rows = refs[2:11]
-    out_ref = refs[11]
-    rows_s = refs[12]
+    iscal_ref = refs[1]      # SMEM (1, 2) int32: [step, seed]
+    selfref = refs[2]
+    rows = refs[3:12]
+    out_ref = refs[12]
+    rows_s = refs[13]
     a = scal_ref[0, 0]
     gamma = scal_ref[0, 1]
     sigma0 = scal_ref[0, 2]   # tdpd: precomputed sigma; edpd: unused
@@ -52,6 +53,9 @@ def _kernel(*refs, k: int, nx: int, model: str, ns: int, n_chan: int,
     lx = scal_ref[0, 5]
     kappa = scal_ref[0, 6]    # edpd conduction coefficient
     inv_mass = scal_ref[0, 7]
+    if rng_mode == "tea":
+        step_u = iscal_ref[0, 0].astype(jnp.uint32)
+        seed_u = iscal_ref[0, 1].astype(jnp.uint32)
 
     for i, ref in enumerate(rows):
         rows_s[i, :, :, :] = ref[:, 0, :, :]
@@ -106,10 +110,17 @@ def _kernel(*refs, k: int, nx: int, model: str, ns: int, n_chan: int,
             dvy = vys - nb(chan(_VY))
             dvz = vzs - nb(chan(_VZ))
             ev = (drx * dvx + dry * dvy + drz * dvz) * rinv
-            hj = pltpu.bitcast(nb(chan(_H)), jnp.uint32)
-            hp = rngmod.combine_symmetric(hs, hj)
-            theta = rngmod.uniform_stream(hp, 0)
             tgj = pltpu.bitcast(nb(chan(_TAG)), jnp.int32)
+            if rng_mode == "tea":
+                # reference-parity pair hash: full TEA on the sorted tags
+                lo_t = jnp.minimum(tgs, tgj).astype(jnp.uint32)
+                hi_t = jnp.maximum(tgs, tgj).astype(jnp.uint32)
+                hp, _unused = rngmod.tea(lo_t, hi_t, step_u, seed_u,
+                                         rounds=rng_rounds)
+            else:
+                hj = pltpu.bitcast(nb(chan(_H)), jnp.uint32)
+                hp = rngmod.combine_symmetric(hs, hj)
+            theta = rngmod.uniform_stream(hp, 0)
             sign = jnp.where(tgs < tgj, 1.0, -1.0)
 
             if model == "edpd":
@@ -170,16 +181,19 @@ def _kernel(*refs, k: int, nx: int, model: str, ns: int, n_chan: int,
         out_ref[o, 0, :, :] = acc[o]
 
 
-@partial(jax.jit, static_argnames=("dt", "cfg", "rng_rounds", "interpret"))
+@partial(jax.jit, static_argnames=("dt", "cfg", "rng_rounds", "interpret",
+                                   "rng_mode"))
 def bucket_forces_pallas_edpd(x, v, t, typ, tag, mask, box: Box, step,
                               params, dt: float, cfg: CellConfig,
-                              rng_rounds: int = 8, interpret: bool = False):
+                              rng_rounds: int = 8, interpret: bool = False,
+                              rng_mode: str = "fast"):
     """eDPD forces + heat via the Pallas kernel. Returns (f, dTdt, virial).
-    Interface matches ops.edpd.bucket_forces_edpd."""
+    Interface matches ops.edpd.bucket_forces_edpd (both RNG tiers)."""
     scal_extra = jnp.stack([params.kappa[0, 0], 1.0 / params.mass])
     model_chans = [t]
     out = _call(x, v, tag, mask, box, step, params, dt, cfg, rng_rounds,
-                interpret, model="edpd", ns=0, model_chans=model_chans,
+                interpret, rng_mode=rng_mode,
+                model="edpd", ns=0, model_chans=model_chans,
                 scal_mid=jnp.stack([params.a[0, 0], params.gamma[0, 0],
                                     jnp.float32(0.0), params.rc[0, 0]]),
                 scal_extra=scal_extra, n_out=5)
@@ -189,19 +203,23 @@ def bucket_forces_pallas_edpd(x, v, t, typ, tag, mask, box: Box, step,
     return f, out[4].reshape(nr) / params.cv, jnp.sum(out[3])
 
 
-@partial(jax.jit, static_argnames=("dt", "cfg", "rng_rounds", "interpret"))
+@partial(jax.jit, static_argnames=("dt", "cfg", "rng_rounds", "interpret",
+                                   "rng_mode"))
 def bucket_forces_pallas_tdpd(x, v, c, typ, tag, mask, box: Box, step,
                               params, dt: float, cfg: CellConfig,
-                              rng_rounds: int = 8, interpret: bool = False):
+                              rng_rounds: int = 8, interpret: bool = False,
+                              rng_mode: str = "fast"):
     """tDPD forces + fluxes via the Pallas kernel. Returns (f, dCdt, virial).
-    Full w_dc = (1 - r/rcc)^s1; requires rcc <= rc (rc-based stencil)."""
+    Full w_dc = (1 - r/rcc)^s1; requires rcc <= rc (rc-based stencil).
+    Both RNG tiers."""
     ns = params.n_species
     model_chans = [c[:, s] for s in range(ns)]
     per_species = []
     for s in range(ns):
         per_species += [params.kappa_c[s], params.eps_c[s]]
     out = _call(x, v, tag, mask, box, step, params, dt, cfg, rng_rounds,
-                interpret, model="tdpd", ns=ns, model_chans=model_chans,
+                interpret, rng_mode=rng_mode,
+                model="tdpd", ns=ns, model_chans=model_chans,
                 scal_mid=jnp.stack([params.a[0, 0], params.gamma[0, 0],
                                     params.sigma[0, 0], params.rc[0, 0]]),
                 scal_extra=jnp.stack([params.rcc, params.s1]
@@ -215,7 +233,8 @@ def bucket_forces_pallas_tdpd(x, v, c, typ, tag, mask, box: Box, step,
 
 
 def _call(x, v, tag, mask, box, step, params, dt, cfg, rng_rounds,
-          interpret, *, model, ns, model_chans, scal_mid, scal_extra, n_out):
+          interpret, *, model, ns, model_chans, scal_mid, scal_extra, n_out,
+          rng_mode="fast"):
     nx, ny, nz = cfg.ncell
     k = cfg.capacity
     h = rngmod.particle_hash(tag, step, params.seed, rounds=rng_rounds)
@@ -245,6 +264,8 @@ def _call(x, v, tag, mask, box, step, params, dt, cfg, rng_rounds,
         jnp.stack([jnp.float32(1.0 / jnp.sqrt(dt)), box.lengths[0]]),
         scal_extra.astype(jnp.float32)]).reshape(1, -1)
     n_scal = scal.shape[1]
+    iscal = jnp.stack([jnp.asarray(step, jnp.int32),
+                       params.seed.astype(jnp.int32)]).reshape(1, 2)
 
     def row_spec(dy, dz):
         return pl.BlockSpec(
@@ -256,6 +277,8 @@ def _call(x, v, tag, mask, box, step, params, dt, cfg, rng_rounds,
     in_specs = [
         pl.BlockSpec((1, n_scal), lambda cy, cz: (0, 0),
                      memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2), lambda cy, cz: (0, 0),
+                     memory_space=pltpu.SMEM),
         pl.BlockSpec((n_chan, 1, 1, k * nx),
                      index_map=lambda cy, cz: (
                          0, (cy + 1) * (nz + 2) + (cz + 1), 0, 0),
@@ -265,7 +288,7 @@ def _call(x, v, tag, mask, box, step, params, dt, cfg, rng_rounds,
 
     out = pl.pallas_call(
         partial(_kernel, k=k, nx=nx, model=model, ns=ns, n_chan=n_chan,
-                n_out=n_out),
+                n_out=n_out, rng_mode=rng_mode, rng_rounds=rng_rounds),
         grid=(ny, nz),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -276,5 +299,5 @@ def _call(x, v, tag, mask, box, step, params, dt, cfg, rng_rounds,
                                        jnp.float32),
         scratch_shapes=[pltpu.VMEM((9, n_chan, k, nx), jnp.float32)],
         interpret=interpret,
-    )(scal, self_view, *([rows_view] * 9))
+    )(scal, iscal, self_view, *([rows_view] * 9))
     return [out[o].reshape(ny, nz, k, nx) for o in range(n_out)]

@@ -256,3 +256,45 @@ def test_transport_tea_tier_bucket_matches_dense():
     qs = np.abs(np.asarray(q_d)).max()
     assert np.abs(np.asarray(f_b)[m] - np.asarray(f_d)[m]).max() / fs < 2e-6
     assert np.abs(np.asarray(q_b2)[m] - np.asarray(q_d)[m]).max() / qs < 2e-5
+
+
+def test_transport_pallas_tea_matches_bucket_interpret():
+    """In-kernel TEA tier for the eDPD/tDPD Pallas kernels (interpret)."""
+    from meso_tpu.kernels.pair_multiphysics import (bucket_forces_pallas_edpd,
+                                                    bucket_forces_pallas_tdpd)
+    box, st, cfg = _sys(with_energy=True)
+    st = st.replace(T=1.0 + 0.3 * jnp.sin(st.x[:, 0]))
+    ep = EDPDParams.build(a=25.0, gamma=4.5, rc=1.0, kappa=1.5, cv=10.0,
+                          seed=7)
+    bst = to_bucket_state(st, cfg)
+    step = jnp.int32(12)
+    f_x, q_x, _ = jax.jit(
+        bucket_forces_edpd, static_argnames=("dt", "cfg", "rng_mode"))(
+        bst.x, bst.v, bst.T, bst.typ, bst.tag, bst.mask, box, step, ep,
+        0.01, cfg, rng_mode="tea")
+    f_p, q_p, _ = bucket_forces_pallas_edpd(
+        bst.x, bst.v, bst.T, bst.typ, bst.tag, bst.mask, box, step, ep,
+        0.01, cfg, interpret=True, rng_mode="tea")
+    m = np.asarray(bst.mask)
+    fs = np.abs(np.asarray(f_x)).max()
+    qs = max(np.abs(np.asarray(q_x)).max(), 1e-9)
+    assert np.abs(np.asarray(f_p)[m] - np.asarray(f_x)[m]).max() / fs < 1e-5
+    assert np.abs(np.asarray(q_p)[m] - np.asarray(q_x)[m]).max() / qs < 1e-4
+
+    box, st, cfg = _sys(n_species=1)
+    st = st.replace(C=(1.0 + 0.5 * jnp.cos(st.x[:, 0]))[:, None])
+    tp = TDPDParams.build(a=25.0, gamma=4.5, rc=1.0, kt=1.0, kappa_c=[1.0],
+                          eps_c=[0.2], rcc=1.0, seed=5)
+    bst = to_bucket_state(st, cfg)
+    f_x, q_x, _ = jax.jit(
+        bucket_forces_tdpd, static_argnames=("dt", "cfg", "rng_mode"))(
+        bst.x, bst.v, bst.C, bst.typ, bst.tag, bst.mask, box, step, tp,
+        0.01, cfg, rng_mode="tea")
+    f_p, q_p, _ = bucket_forces_pallas_tdpd(
+        bst.x, bst.v, bst.C, bst.typ, bst.tag, bst.mask, box, step, tp,
+        0.01, cfg, interpret=True, rng_mode="tea")
+    m = np.asarray(bst.mask)
+    fs = np.abs(np.asarray(f_x)).max()
+    qs = np.abs(np.asarray(q_x)).max()
+    assert np.abs(np.asarray(f_p)[m] - np.asarray(f_x)[m]).max() / fs < 1e-5
+    assert np.abs(np.asarray(q_p)[m] - np.asarray(q_x)[m]).max() / qs < 1e-4
