@@ -76,3 +76,77 @@ def run_ensemble(system: System, params: SystemParams, dstate: State,
     return jax.shard_map(
         shard_body, mesh=mesh, in_specs=(P(), P("dp")),
         out_specs=(P("dp"), P("dp"), P("dp")))(params, dstate)
+
+
+# ---------------------------------------------------------------------------
+# composed DP x SP: replicas on a "dp" mesh axis, each spatially decomposed
+# over the "x" axis (the multi-universe `-partition` analog composed with
+# the brick decomposition; SURVEY.md §2c DP row x spatial row)
+# ---------------------------------------------------------------------------
+
+def make_ensemble_spatial_mesh(n_replicas: int, n_dev: int) -> Mesh:
+    devs = np.array(jax.devices()[:n_replicas * n_dev]).reshape(
+        n_replicas, n_dev)
+    return Mesh(devs, ("dp", "x"))
+
+
+def distribute_ensemble_spatial(state: State, n_replicas: int, dcfg,
+                                reseed: bool = True) -> State:
+    """Replicate, reseed tags into disjoint ranges, then slab-distribute
+    each replica: leading axes (n_replicas, n_dev)."""
+    from meso_tpu.parallel.domain import distribute_state
+
+    reps = replicate_state(state, n_replicas, reseed=reseed)
+    per = [distribute_state(jax.tree.map(lambda a: a[r], reps), dcfg)
+           for r in range(n_replicas)]
+    return jax.tree.map(lambda *ls: jnp.stack(ls), *per)
+
+
+@partial(jax.jit, static_argnames=("system", "dcfg", "nchunks", "mesh"))
+def run_distributed_ensemble(system: System, params, dstate: State,
+                             nchunks: int, mesh: Mesh, dcfg):
+    """Advance every replica with the full 1-D spatial machinery (migrate +
+    rebuild + halo-sweep steps). Replicas never communicate; the spatial
+    collectives address only the "x" axis, so the domain body is reused
+    verbatim."""
+    from meso_tpu.parallel.domain import (_migrate, _rebuild_slab,
+                                          _step_local)
+
+    def shard_body(params, dstate):
+        state = jax.tree.map(lambda a: a[0, 0], dstate)
+        me = jax.lax.axis_index("x")
+        slab_lo = me.astype(jnp.float32) * dcfg.slab_w
+        slab_hi = slab_lo + dcfg.slab_w
+        side_x = dcfg.slab_w / dcfg.ncx_local
+
+        def chunk(state, _):
+            merged, of_mig = _migrate(state, dcfg, slab_lo, slab_hi)
+            state, of_cell = _rebuild_slab(merged, dcfg.cells, slab_lo,
+                                           side_x)
+
+            def body(s, _):
+                return _step_local(system, params, dcfg, s), None
+
+            state, _ = jax.lax.scan(body, state, None,
+                                    length=dcfg.rebuild_every)
+            of = jax.lax.psum(jax.lax.psum(of_mig + of_cell, "x"), "dp")
+            return state, {"overflow": of}
+
+        state, diag = jax.lax.scan(chunk, state, None, length=nchunks)
+        diag = {"overflow": jnp.max(diag["overflow"])[None, None]}
+        return jax.tree.map(lambda a: a[None, None], state), diag
+
+    return jax.shard_map(
+        shard_body, mesh=mesh, in_specs=(P(), P("dp", "x")),
+        out_specs=(P("dp", "x"), P("dp", "x")))(params, dstate)
+
+
+def collect_ensemble_spatial(dstate: State) -> State:
+    """Merge replica r's slabs into one global state per replica; returns a
+    state stacked on a leading replica axis (host-side)."""
+    from meso_tpu.parallel.domain import collect_state
+
+    n_rep = dstate.x.shape[0]
+    per = [collect_state(jax.tree.map(lambda a: a[r], dstate))
+           for r in range(n_rep)]
+    return jax.tree.map(lambda *ls: jnp.stack(ls), *per)
