@@ -59,7 +59,7 @@ def _lane_tile(p: Array, reps: int) -> Array:
 
 def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
             rng_rounds: int, n_chan: int, n_types: int, typ_chan: int,
-            n_excl: int, tag_chan: int, ex_chan: int):
+            n_excl: int, tag_chan: int, ex_chan: int, halo_x: bool = False):
     """refs = [scal, iscal, tab, self, band(dy=0..2), out_ref, bands_scratch].
 
     fori_loop over (output z-row, dy band) pairs bounds live temporaries to
@@ -80,6 +80,8 @@ def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
     lx = scal_ref[0, 5]
     s_e = scal_ref[0, 6]   # generalized weight exponent (w_R = w^s)
     excl_w = scal_ref[0, 7]  # special_bonds weight for excluded pairs
+    ly = scal_ref[0, 8]
+    lz = scal_ref[0, 9]
     if rng_mode == "tea":
         step_u = iscal_ref[0, 0].astype(jnp.uint32)
         seed_u = iscal_ref[0, 1].astype(jnp.uint32)
@@ -125,14 +127,18 @@ def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
         vir = jnp.zeros((1, k * nx), jnp.float32)
         is_center_row = (dy == 1) & (dz == 1)
 
-        def chan(c):  # (K, nx)
+        def chan(c):  # (K, nx) or (K, nx+2) when halo_x
             return bands_s[dy, c, grow + dz, :, :]
 
         if True:
             for dx in (-1, 0, 1):
-                def nb(p):
-                    r = pltpu.roll(p, (-dx) % nx, 1) if dx else p
-                    return _lane_tile(r, k)
+                if halo_x:
+                    def nb(p, _dx=dx):  # static lane slice of the x-halo
+                        return _lane_tile(p[:, 1 + _dx:1 + _dx + nx], k)
+                else:
+                    def nb(p, _dx=dx):
+                        r = pltpu.roll(p, (-_dx) % nx, 1) if _dx else p
+                        return _lane_tile(r, k)
 
                 if n_types > 1:
                     # pair code -> unrolled SMEM-table select chain
@@ -149,11 +155,17 @@ def _kernel(*refs, k: int, nx: int, g: int, rng_mode: str,
                         rc_ij = jnp.where(sel, tab_ref[3, p], rc_ij)
                 else:
                     a_ij, g_ij, s_ij, rc_ij = a, gamma, sigma, rc
+                # minimum image on ALL axes: halo/pad coords are
+                # pre-shifted for cross-boundary pairs, but a particle can
+                # wrap the GLOBAL box mid-window while still bucketed at
+                # the far side (box.wrap runs every step; buckets only at
+                # rebuild) — raw dr ~ L there, and only min-image fixes it
                 drx = sxs - nb(chan(_SX))
-                # x-wrap minimum image (y/z use shifted halo coords)
                 drx = drx - jnp.round(drx / lx) * lx
                 dry = sys_ - nb(chan(_SY))
+                dry = dry - jnp.round(dry / ly) * ly
                 drz = szs - nb(chan(_SZ))
+                drz = drz - jnp.round(drz / lz) * lz
                 r2 = drx * drx + dry * dry + drz * drz
                 ok = (r2 < rc_ij * rc_ij) & (r2 > 0.0)
                 ok = ok & (nb(chan(_VALID)) * vs > 0.5)
@@ -297,8 +309,10 @@ def bucket_forces_pallas(x: Array, v: Array, typ: Array, tag: Array,
                       jnp.float32(1.0 / jnp.sqrt(dt)),
                       box.lengths[0], params.s_exp,
                       jnp.float32(1.0) if params.excl_w is None
-                      else params.excl_w]
-                     ).reshape(1, 8)
+                      else params.excl_w,
+                      box.lengths[1], box.lengths[2],
+                      jnp.float32(0), jnp.float32(0)]
+                     ).reshape(1, 12)
     iscal = jnp.stack([jnp.asarray(step, jnp.int32),
                        params.seed.astype(jnp.int32)]).reshape(1, 2)
     if n_types > 1:
@@ -316,7 +330,8 @@ def bucket_forces_pallas(x: Array, v: Array, typ: Array, tag: Array,
             memory_space=pltpu.VMEM)
 
     in_specs = [
-        pl.BlockSpec((1, 8), lambda cy, czb: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 12), lambda cy, czb: (0, 0),
+                     memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 2), lambda cy, czb: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec(tab.shape, lambda cy, czb: (0, 0),
                      memory_space=pltpu.SMEM),
@@ -347,3 +362,126 @@ def bucket_forces_pallas(x: Array, v: Array, typ: Array, tag: Array,
                    out[2].reshape(nr)], axis=-1)
     virial = jnp.sum(out[3])
     return f, virial
+
+
+@partial(jax.jit, static_argnames=("dt", "cfg", "rng_mode", "rng_rounds",
+                                   "interpret", "rows_per_step", "n_types",
+                                   "vma"))
+def halo_forces_pallas_1d(channels: dict, box: Box, step: Array,
+                          params: DPDParams, dt: float, cfg: CellConfig,
+                          rng_mode: str = "fast", rng_rounds: int = 8,
+                          interpret: bool | None = None,
+                          rows_per_step: int = 0, n_types: int = 1,
+                          vma: tuple = ("x",)):
+    """Pallas pair forces for a 1-D x-decomposed brick (multi-chip hot path).
+
+    ``channels``: dict of (ny, nz, K, nx+2) planes — the LOCAL grid extended
+    by one ppermuted halo column each side (wrap links pre-shifted), i.e.
+    the output of ``parallel.domain._halo_channels_1d``. Required keys:
+    x,y,z,vx,vy,vz,h,tag,valid (+typ when n_types>1). y/z stay periodic
+    in-device (wrap pads added here). Returns (f (nr,3), virial).
+
+    The kernel runs with halo_x=True: dx neighbors are static lane slices of
+    the x-extended tiles instead of rolls, and no x min-image is applied
+    (ghost coordinates already carry the wrap shift). Exclusions are not
+    supported on this path (distributed bonded is rejected upstream).
+    """
+    import os
+    if interpret is None:
+        interpret = os.environ.get("MESO_PALLAS_INTERPRET") == "1"
+    ny, nz, k, nxe = channels["x"].shape
+    nx = nxe - 2
+    nr = ny * nz * k * nx
+    g = rows_per_step
+    if g <= 0:
+        g = max(d for d in range(1, min(nz, 8) + 1) if nz % d == 0)
+    nzg = nz // g
+
+    bc = lambda a: jax.lax.bitcast_convert_type(a.astype(jnp.int32),
+                                                jnp.float32)
+    chans = [channels["x"], channels["y"], channels["z"], channels["vx"],
+             channels["vy"], channels["vz"], bc(channels["h"]),
+             channels["valid"]]
+    typ_chan = -1
+    tag_chan = -1
+    if rng_mode == "tea":
+        tag_chan = len(chans)
+        chans.append(bc(channels["tag"]))
+    if n_types > 1:
+        typ_chan = len(chans)
+        chans.append(channels["typ"].astype(jnp.float32))
+    n_chan = len(chans)
+    planes = jnp.stack(chans)  # (n_chan, ny, nz, k, nx+2)
+
+    # y/z wrap halos with pre-shifted coordinates (periodic in-device)
+    padded = jnp.pad(planes, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)),
+                     mode="wrap")
+    ly = box.lengths[1]
+    lz = box.lengths[2]
+    padded = padded.at[_SY, 0].add(-ly).at[_SY, -1].add(ly)
+    padded = padded.at[_SZ, :, 0].add(-lz).at[_SZ, :, -1].add(lz)
+
+    bands_mat = jnp.stack(
+        [padded[:, :, czb * g:czb * g + g + 2] for czb in range(nzg)],
+        axis=2)
+    bands_view = bands_mat.reshape(n_chan, (ny + 2) * nzg * (g + 2), k,
+                                   nx + 2)
+    self_view = planes[..., 1:-1].reshape(n_chan, ny * nz, 1, k * nx)
+
+    scal = jnp.stack([params.a[0, 0], params.gamma[0, 0], params.sigma[0, 0],
+                      params.rc[0, 0],
+                      jnp.float32(1.0 / jnp.sqrt(dt)),
+                      box.lengths[0], params.s_exp,
+                      jnp.float32(1.0),
+                      box.lengths[1], box.lengths[2],
+                      jnp.float32(0), jnp.float32(0)]).reshape(1, 12)
+    iscal = jnp.stack([jnp.asarray(step, jnp.int32),
+                       params.seed.astype(jnp.int32)]).reshape(1, 2)
+    if n_types > 1:
+        tab = jnp.stack([params.a.reshape(-1), params.gamma.reshape(-1),
+                         params.sigma.reshape(-1), params.rc.reshape(-1)])
+    else:
+        tab = jnp.zeros((4, 1), jnp.float32)
+
+    def band_spec(dy):
+        return pl.BlockSpec(
+            (n_chan, g + 2, k, nx + 2),
+            index_map=lambda cy, czb: (0, (cy + dy) * nzg + czb, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, 12), lambda cy, czb: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2), lambda cy, czb: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(tab.shape, lambda cy, czb: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((n_chan, g, 1, k * nx),
+                     index_map=lambda cy, czb: (0, cy * nzg + czb, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    in_specs += [band_spec(dy) for dy in (0, 1, 2)]
+
+    out = pl.pallas_call(
+        partial(_kernel, k=k, nx=nx, g=g, rng_mode=rng_mode,
+                rng_rounds=rng_rounds, n_chan=n_chan, n_types=n_types,
+                typ_chan=typ_chan, n_excl=0, tag_chan=tag_chan,
+                ex_chan=-1, halo_x=True),
+        grid=(ny, nzg),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (4, g, 1, k * nx),
+            index_map=lambda cy, czb: (0, cy * nzg + czb, 0, 0),
+            memory_space=pltpu.VMEM),
+        # vma: this call always runs inside shard_map; the output varies
+        # over the decomposition axes (check_vma requires it be explicit)
+        out_shape=jax.ShapeDtypeStruct((4, ny * nz, 1, k * nx), jnp.float32,
+                                       vma=frozenset(vma)),
+        scratch_shapes=[pltpu.VMEM((3, n_chan, g + 2, k, nx + 2),
+                                   jnp.float32)],
+        interpret=interpret,
+    )(scal, iscal, tab, self_view, *[bands_view] * 3)
+
+    out = out.reshape(4, ny, nz, k, nx)
+    f = jnp.stack([out[0].reshape(nr), out[1].reshape(nr),
+                   out[2].reshape(nr)], axis=-1)
+    return f, jnp.sum(out[3])

@@ -51,8 +51,10 @@ def _kernel(*refs, k: int, nx: int, model: str, ns: int, n_chan: int,
     rc = scal_ref[0, 3]
     dt_inv_sqrt = scal_ref[0, 4]
     lx = scal_ref[0, 5]
-    kappa = scal_ref[0, 6]    # edpd conduction coefficient
-    inv_mass = scal_ref[0, 7]
+    ly = scal_ref[0, 6]
+    lz = scal_ref[0, 7]
+    kappa = scal_ref[0, 8]    # edpd conduction coefficient
+    inv_mass = scal_ref[0, 9]
     if rng_mode == "tea":
         step_u = iscal_ref[0, 0].astype(jnp.uint32)
         seed_u = iscal_ref[0, 1].astype(jnp.uint32)
@@ -92,10 +94,14 @@ def _kernel(*refs, k: int, nx: int, model: str, ns: int, n_chan: int,
                 r = pltpu.roll(p, (-dx) % nx, 1) if dx else p
                 return _lane_tile(r, k)
 
+            # min-image ALL axes: a particle can wrap the global box
+            # mid-window while still bucketed at the far side
             drx = sxs - nb(chan(_SX))
             drx = drx - jnp.round(drx / lx) * lx
             dry = sys_ - nb(chan(_SY))
+            dry = dry - jnp.round(dry / ly) * ly
             drz = szs - nb(chan(_SZ))
+            drz = drz - jnp.round(drz / lz) * lz
             r2 = drx * drx + dry * dry + drz * drz
             ok = (r2 < rc * rc) & (r2 > 0.0)
             ok = ok & (nb(chan(_VALID)) * vs > 0.5)
@@ -146,8 +152,8 @@ def _kernel(*refs, k: int, nx: int, model: str, ns: int, n_chan: int,
                 fmag = jnp.where(ok, fmag, 0.0)
                 # transport weight: w_dc = (1 - r/rcc)^s1 with its own
                 # cutoff rcc <= rc (scal slots 6/7 repurposed from edpd)
-                rcc = scal_ref[0, 6]
-                s1 = scal_ref[0, 7]
+                rcc = scal_ref[0, 8]
+                s1 = scal_ref[0, 9]
                 inside_c = ok & (r2 < rcc * rcc)
                 wdc_base = jnp.maximum(1.0 - r / rcc, 0.0)
                 wdc = jnp.where(s1 == 1.0, wdc_base,
@@ -155,8 +161,8 @@ def _kernel(*refs, k: int, nx: int, model: str, ns: int, n_chan: int,
                 wrc = jnp.sqrt(wdc)
                 extra = []
                 for s in range(ns):
-                    kap_s = scal_ref[0, 8 + 2 * s]
-                    eps_s = scal_ref[0, 9 + 2 * s]
+                    kap_s = scal_ref[0, 10 + 2 * s]
+                    eps_s = scal_ref[0, 11 + 2 * s]
                     ci = selfchan(9 + s) * 1.0
                     cj = nb(chan(9 + s))
                     xi = sign * rngmod.uniform_stream(hp, 2 + s)
@@ -261,7 +267,8 @@ def _call(x, v, tag, mask, box, step, params, dt, cfg, rng_rounds,
 
     scal = jnp.concatenate([
         scal_mid.astype(jnp.float32),
-        jnp.stack([jnp.float32(1.0 / jnp.sqrt(dt)), box.lengths[0]]),
+        jnp.stack([jnp.float32(1.0 / jnp.sqrt(dt)), box.lengths[0],
+                   box.lengths[1], box.lengths[2]]),
         scal_extra.astype(jnp.float32)]).reshape(1, -1)
     n_scal = scal.shape[1]
     iscal = jnp.stack([jnp.asarray(step, jnp.int32),

@@ -314,6 +314,32 @@ def _halo_forces_model(state: State, system: System, params: SystemParams,
     return f, aux
 
 
+
+def _halo_forces_pallas(state: State, system: System, params: SystemParams,
+                        dcfg: DomainConfig, step: Array, x: Array, v: Array):
+    """Distributed classic forces on the PALLAS kernel: channel halo
+    exchange (ppermute columns) then ``kernels.pair_dpd.halo_forces_pallas_1d``
+    with halo_x lane slices — the multi-chip hot path (force_path='pallas').
+    """
+    from meso_tpu.kernels.pair_dpd import halo_forces_pallas_1d
+    from meso_tpu.ops.sweep import make_channels
+
+    cfg = dcfg.cells
+    k = cfg.capacity
+    h = rngmod.particle_hash(state.tag, step, params.pair.seed,
+                             rounds=system.rng_rounds)
+    channels = make_channels(x, v, state.tag, state.mask, h, {},
+                             cfg.ncell, k)
+    n_types = params.pair.a.shape[0]
+    if n_types > 1:
+        channels["typ"] = state.typ.reshape(channels["tag"].shape)
+    padded = _halo_channels_1d(channels, dcfg)
+    return halo_forces_pallas_1d(padded, state.box, step, params.pair,
+                                 system.dt, cfg, rng_mode=system.rng_mode,
+                                 rng_rounds=system.rng_rounds,
+                                 n_types=n_types)
+
+
 def _step_local(system: System, params: SystemParams, dcfg: DomainConfig,
                 state: State) -> State:
     inv_m = params.inv_mass[state.typ]
@@ -327,8 +353,12 @@ def _step_local(system: System, params: SystemParams, dcfg: DomainConfig,
             x1, image1, v_tilde = fx.post_integrate(
                 system, params, state, x1, image1, v_tilde)
     if system.model == "dpd":
-        f_new, _ = _halo_forces(state, system, params, dcfg, new_step, x1,
-                                v_tilde)
+        if system.force_path == "pallas":
+            f_new, _ = _halo_forces_pallas(state, system, params, dcfg,
+                                           new_step, x1, v_tilde)
+        else:
+            f_new, _ = _halo_forces(state, system, params, dcfg, new_step,
+                                    x1, v_tilde)
         aux = {}
     else:
         f_new, aux = _halo_forces_model(state, system, params, dcfg,
@@ -387,9 +417,12 @@ def run_distributed(system: System, params: SystemParams, dstate: State,
         diag = {"overflow": jnp.max(diag["overflow"])[None]}
         return jax.tree.map(lambda a: a[None], state), diag
 
+    # check_vma=False: pallas interpret mode (CPU tests of the pallas
+    # force path) is not vma-aware inside shard_map — JAX's documented
+    # workaround; compiled TPU behavior is unaffected
     return jax.shard_map(
         shard_body, mesh=mesh, in_specs=(P(), P(AXIS)),
-        out_specs=(P(AXIS), P(AXIS)))(params, dstate)
+        out_specs=(P(AXIS), P(AXIS)), check_vma=False)(params, dstate)
 
 
 # ---------------------------------------------------------------------------

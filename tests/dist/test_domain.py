@@ -171,3 +171,25 @@ def test_distributed_multitype_matches_single_chip():
     want = _bytag(sref)
     assert got["x"].shape == want["x"].shape
     assert np.abs(got["x"] - want["x"]).max() < 2e-4
+
+
+@pytest.mark.slow
+def test_distributed_pallas_kernel_matches_bucket(monkeypatch):
+    """force_path='pallas' under 1-D DD (halo_x kernel, interpret mode on
+    CPU): trajectory matches the distributed XLA sweep by tag."""
+    monkeypatch.setenv("MESO_PALLAS_INTERPRET", "1")
+    system, params, state, dcfg, _ = _fluid(n_dev=4, rebuild_every=5)
+    mesh = make_mesh_1d(4)
+
+    dstate = distribute_state(state, dcfg)
+    d_b, diag_b = run_distributed(system, params, dstate, 2, mesh, dcfg)
+    assert int(np.max(np.asarray(diag_b["overflow"]))) == 0
+
+    system_p = system.replace(force_path="pallas")
+    d_p, diag_p = run_distributed(system_p, params, dstate, 2, mesh, dcfg)
+    assert int(np.max(np.asarray(diag_p["overflow"]))) == 0
+
+    got, want = _bytag(collect_state(d_p)), _bytag(collect_state(d_b))
+    assert got["x"].shape == want["x"].shape
+    assert np.abs(got["x"] - want["x"]).max() < 1e-5
+    assert np.abs(got["v"] - want["v"]).max() < 1e-4
