@@ -109,24 +109,44 @@ def _try(env_overrides: dict, timeout_s: int):
     return None
 
 
+def _probe_device(timeout_s: int = 120) -> bool:
+    """Can the accelerator run a trivial op? A DOWN worker HANGS (never
+    raises), so this runs in a subprocess with a hard timeout."""
+    code = ("import jax, jax.numpy as jnp;"
+            "print(int(jnp.arange(8).sum()))")
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=timeout_s)
+        return out.returncode == 0 and "28" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     if os.environ.get("MESO_BENCH_CHILD"):
         _child()
         return
     l = os.environ.get("MESO_BENCH_L", "70")
-    ladder = [
-        ({"MESO_BENCH_L": l}, 2400),
-        ({"MESO_BENCH_L": 32}, 1200),
-        # last resort: the TPU worker is unreachable/hung — measure the XLA
-        # bucket path on CPU so the driver still gets a record
-        ({"MESO_BENCH_L": 16, "MESO_BENCH_PATH": "bucket",
-          "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}, 900),
-    ]
+    if _probe_device():
+        ladder = [
+            ({"MESO_BENCH_L": l}, 2400),
+            ({"MESO_BENCH_L": 32}, 1200),
+        ]
+    else:
+        sys.stderr.write("[bench] device probe hung/failed — worker down; "
+                         "skipping straight to the CPU rung\n")
+        ladder = []
+    # last resort: the TPU worker is unreachable/hung — measure the XLA
+    # bucket path on CPU so the driver still gets a record
+    ladder.append(({"MESO_BENCH_L": 16, "MESO_BENCH_PATH": "bucket",
+                    "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""},
+                   900))
     for i, (cfg, tmo) in enumerate(ladder):
         result = _try(cfg, tmo)
         if result is not None:
-            if i > 0:
-                result["note"] = f"fallback rung {i}: {cfg}"
+            if str(cfg.get("MESO_BENCH_L")) != str(l):
+                result["note"] = f"fallback rung: {cfg}"
             print(json.dumps(result))
             return
     print(json.dumps({"metric":
