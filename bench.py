@@ -25,7 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_config(l, path, skin, every, nsteps):
+def run_config(l, path, skin, every, nsteps, equil=399):
     import jax
     import jax.numpy as jnp
 
@@ -46,7 +46,7 @@ def run_config(l, path, skin, every, nsteps):
         return run_adaptive(system, params, s, steps)
 
     # equilibrate (hot random start -> kT 1.0) + warm the compile cache
-    state, _ = advance(state, 399)
+    state, _ = advance(state, equil)
     jax.block_until_ready(state.x)
 
     t0 = time.perf_counter()
@@ -84,7 +84,9 @@ def _child():
     skin = float(os.environ.get("MESO_BENCH_SKIN", "0.4"))
     every = int(os.environ.get("MESO_BENCH_REBUILD", "3"))
     nsteps = int(os.environ.get("MESO_BENCH_STEPS", "201"))
-    print(json.dumps(run_config(l, path, skin, every, nsteps)), flush=True)
+    equil = int(os.environ.get("MESO_BENCH_EQUIL", "399"))
+    print(json.dumps(run_config(l, path, skin, every, nsteps, equil)),
+          flush=True)
 
 
 def _try(env_overrides: dict, timeout_s: int):
@@ -138,8 +140,12 @@ def main():
                          "skipping straight to the CPU rung\n")
         ladder = []
     # last resort: the TPU worker is unreachable/hung — measure the XLA
-    # bucket path on CPU so the driver still gets a record
-    ladder.append(({"MESO_BENCH_L": 16, "MESO_BENCH_PATH": "bucket",
+    # bucket path on CPU so the driver still gets a record. Sized to ALWAYS
+    # finish on the 1-core host (r1 lesson: L=16 x 600 steps timed out):
+    # L=10 -> 3000 particles, 201 equil + 63 measured steps, ~4 min total
+    # (measured r2: 63+63 steps = 2m04s incl. compile on the 1-core host).
+    ladder.append(({"MESO_BENCH_L": 10, "MESO_BENCH_PATH": "bucket",
+                    "MESO_BENCH_EQUIL": 201, "MESO_BENCH_STEPS": 63,
                     "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""},
                    900))
     for i, (cfg, tmo) in enumerate(ladder):
