@@ -52,24 +52,34 @@ def main(argv=None):
             return 1
         from meso_tpu.utils.autotune import autotune_fluid
 
-        def make_system(skin, every):
+        def make_system(skin, every, spill=None, z_chunks=None):
             import dataclasses as _dc
             d = dict(deck)
             neigh = dict(d.get("neighbor", {}))
             neigh["skin"] = skin
             neigh["rebuild_every"] = every
             d["neighbor"] = neigh
+            eng = dict(d.get("engine", {}))
+            if spill is not None:
+                eng["spill"] = spill
+            d["engine"] = eng
             if "model" in d:  # builder decks take skin via model args
                 d["model"] = dict(d["model"])
                 d["model"]["args"] = dict(d["model"].get("args", {}))
                 d["model"]["args"]["skin"] = skin
             sy, _, _, _ = build_from_deck(d)
-            return sy.replace(cells=_dc.replace(sy.cells,
-                                                rebuild_every=every))
+            sy = sy.replace(cells=_dc.replace(sy.cells,
+                                              rebuild_every=every))
+            if z_chunks is not None:
+                sy = sy.replace(z_chunks=z_chunks)
+            return sy
 
-        print("autotuning (skin, rebuild_every):", flush=True)
-        best, _ = autotune_fluid(make_system, params, state)
-        system = make_system(best.skin, best.rebuild_every)
+        print("autotuning (skin, rebuild_every, spill, z_chunks):",
+              flush=True)
+        best, _ = autotune_fluid(make_system, params, state,
+                                 tune_kernel=system.force_path == "pallas")
+        system = make_system(best.skin, best.rebuild_every,
+                             spill=best.spill, z_chunks=best.z_chunks)
         from meso_tpu.core.system import setup as _setup
         state = _setup(system, params, state)
     logger = ThermoLogger(every=run_cfg.thermo_every, jsonl_path=args.log)

@@ -70,7 +70,16 @@ class System:
     rng_mode: str = "tea"         # "tea" (reference parity) | "fast"
     rng_rounds: int = 8
     model: str = "dpd"            # "dpd" | "edpd" | "tdpd"
-    force_path: str = "dense"     # "dense" | "nlist" | "bucket" | "pallas"
+    force_path: str = "dense"     # dense | nlist | bucket | pallas (fused
+    #                               kernel) | pallas_banded (round-1 kernel)
+    s_exp: float = 1.0            # STATIC mirror of DPDParams.s_exp: the
+    #                               fused kernel specializes on it (s=1 emits
+    #                               no transcendentals); must match params
+    z_chunks: int = 0             # fused-kernel z-chunk split (0 = auto
+    #                               from the VMEM budget; autotunable)
+    bf16_v: bool = False          # bf16 velocity channels in the fused
+    #                               kernel (row 31 mixed precision; ~2.7e-4
+    #                               rel force error, fp32 accumulation)
     bond_style: str | None = None  # "fene" | "harmonic" | "wlc_pow"
     n_tags: int = 0               # max particle tag (bonded topology space)
     n_mols: int = 0               # molecule count (membrane reductions)
@@ -87,11 +96,11 @@ class System:
     @staticmethod
     def for_fluid(box_lengths, rc: float, density: float, dt: float = 0.01,
                   skin: float = 0.3, rebuild_every: int = 10,
-                  **kw) -> "System":
+                  spill: bool = False, **kw) -> "System":
         """Convenience constructor sizing cells and list capacity from density."""
         from meso_tpu.neighbor.nlist import neighbor_capacity
         cfg = CellConfig.for_box(box_lengths, rc, density, skin=skin,
-                                 rebuild_every=rebuild_every)
+                                 rebuild_every=rebuild_every, spill=spill)
         m = neighbor_capacity(density, rc, skin)
         return System(dt=dt, force_path="nlist", cells=cfg, nlist_m=m,
                       rc_max=rc, **kw)
@@ -125,10 +134,6 @@ def compute_forces(system: System, params: SystemParams, state: State,
         elif system.force_path == "pallas":
             from meso_tpu.kernels.pair_multiphysics import \
                 bucket_forces_pallas_edpd as efn
-            if params.pair.a.shape[0] > 1:
-                raise NotImplementedError(
-                    "eDPD pallas path is single-type; use "
-                    "force_path='bucket' for multi-type tables")
             f, dtdt, virial = efn(
                 x, v, t, state.typ, state.tag, state.mask, state.box, step,
                 params.pair, system.dt, system.cells,
@@ -152,10 +157,6 @@ def compute_forces(system: System, params: SystemParams, state: State,
         elif system.force_path == "pallas":
             from meso_tpu.kernels.pair_multiphysics import \
                 bucket_forces_pallas_tdpd as tfn
-            if params.pair.a.shape[0] > 1:
-                raise NotImplementedError(
-                    "tDPD pallas path is single-type; use "
-                    "force_path='bucket' for multi-type tables")
             f, dcdt, virial = tfn(
                 x, v, c, state.typ, state.tag, state.mask, state.box, step,
                 params.pair, system.dt, system.cells,
@@ -175,7 +176,16 @@ def compute_forces(system: System, params: SystemParams, state: State,
             params.pair, system.dt, nlist_idx,
             rng_mode=system.rng_mode, rng_rounds=system.rng_rounds)
         return f, {"virial": virial}
-    if system.force_path in ("bucket", "pallas"):
+    if system.force_path == "pallas":
+        from meso_tpu.kernels.pair_dpd_fused import bucket_forces_pallas_fused
+        f, virial = bucket_forces_pallas_fused(
+            x, v, state.typ, state.tag, state.mask, state.box, step,
+            params.pair, system.dt, system.cells,
+            rng_mode=system.rng_mode, rng_rounds=system.rng_rounds,
+            s_exp=system.s_exp, z_chunks=system.z_chunks,
+            bf16_v=system.bf16_v)
+        return f, {"virial": virial}
+    if system.force_path in ("bucket", "pallas_banded"):
         if system.force_path == "bucket":
             from meso_tpu.ops.bucket_dpd import bucket_forces_xla as bf
         else:
@@ -189,13 +199,21 @@ def compute_forces(system: System, params: SystemParams, state: State,
 
 
 def _post_forces(system: System, params: SystemParams, state: State,
-                 x: Array, v_tilde: Array, f: Array) -> Array:
-    """Bonded terms (FENE/membrane; SURVEY.md row 24) + post_force fixes."""
-    if system.bond_style is not None:
+                 x: Array, v_tilde: Array, f: Array,
+                 skip_bonded: bool = False, image: Array | None = None)\
+        -> Array:
+    """Bonded terms (FENE/membrane; SURVEY.md row 24) + post_force fixes.
+
+    ``image`` must be the flags consistent with ``x`` (post-drift image1 in
+    the step; membrane volume unwraps with them). skip_bonded: distributed
+    steps compute bonded forces themselves over halo-extended rows
+    (parallel/domain.py) and only need the fix hooks."""
+    if system.bond_style is not None and not skip_bonded:
         from meso_tpu.ops.bonded import bonded_forces
         f = f + bonded_forces(x, state.tag, state.mask, state.box,
                               params.bonded, system.bond_style,
-                              system.n_tags, system.n_mols)
+                              system.n_tags, system.n_mols,
+                              image=state.image if image is None else image)
     for fx in system.fixes:
         if hasattr(fx, "post_force"):
             f = fx.post_force(system, params, state, x, v_tilde, f)
@@ -230,7 +248,8 @@ def make_step(system: System, with_aux: bool = False):
                                     t=state.T, c=state.C)
 
         # --- bonded terms + post_force fixes ---
-        f_new = _post_forces(system, params, state, x1, v_tilde, f_new)
+        f_new = _post_forces(system, params, state, x1, v_tilde, f_new,
+                             image=image1)
 
         # --- final_integrate (corrector) ---
         v1 = final_integrate(state.v, state.f, f_new, system.dt, inv_m, move)
@@ -275,7 +294,7 @@ def rebuild(system: System, state: State):
 
 def setup(system: System, params: SystemParams, state: State) -> State:
     """Initial force evaluation (Verlet::setup analog, SURVEY.md §3.1)."""
-    if system.force_path in ("bucket", "pallas"):
+    if system.force_path in ("bucket", "pallas", "pallas_banded"):
         from meso_tpu.neighbor.bucket_layout import to_bucket_state
         state = to_bucket_state(state, system.cells)
     nlist_idx = None

@@ -1,0 +1,516 @@
+"""Fused-lane Pallas DPD pair kernel — the single-chip hot path, v2.
+
+TPU-native replacement of the reference's hottest CUDA kernel
+(``pair_dpd_meso.cu``, SURVEY.md §2b rows 20-21, §3.3), redesigned from the
+round-1 banded kernel after on-device profiling showed the pair-tile
+materialization (K unaligned lane-copies per channel per stencil block)
+dominating the step. Design:
+
+* channel planes are viewed as (ncy, K, L) with the LANE axis fusing the
+  (cz, cx) cell coordinates: L = ncz * (ncx + 2), each cz row carrying one
+  wrap-duplicate x column on each side. Slots ride the SUBLANE axis.
+* grid over cy (optionally x z-chunks). Per grid step the kernel sees three
+  consecutive cy rows (wrap rows pre-padded at the XLA level) as blocks with
+  exact stride == size — no banding machinery.
+* the 27-cell stencil = 3 cy bands x 9 static lane-roll offsets
+  (dz*(ncx+2) + dx). For each (source slot j, band, offset) the source is a
+  SINGLE (1, L) row, lane-rolled once and broadcast against the full
+  (K, L) self tile by the VPU's native sublane broadcast — NO pair-tile
+  materialization at all (the round-1 kernel's dominant cost).
+* per-pair math identical to ``ops/dpd.pair_force``; minimum image on all
+  three axes makes the wrap-duplicate columns and rolled wrap rows correct
+  without pre-shifted coordinates; in-kernel counter RNG (both tiers);
+  register accumulation with ONE writer per particle — the reference's
+  atomics-free property holds by construction.
+* ``s_exp`` is a STATIC specialization: the common s=1 case emits no
+  transcendentals (the round-1 kernel evaluated jnp.power unconditionally).
+
+Work per output row: 27*K source rows of L lanes — identical pair count to
+the round-1 kernel, at a fraction of the instruction count.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from meso_tpu.core import rng as rngmod
+from meso_tpu.core.box import Box
+from meso_tpu.neighbor.cells import CellConfig
+from meso_tpu.ops.dpd import DPDParams
+
+Array = jax.Array
+
+# channel indices in the stacked plane tensor
+_SX, _SY, _SZ, _VX, _VY, _VZ, _H, _VALID = range(8)
+
+
+def _roll_lane(p: Array, off: int) -> Array:
+    """Value at target lane t becomes row[t + off] (circular)."""
+    if off == 0:
+        return p
+    return pltpu.roll(p, (-off) % p.shape[-1], 1)
+
+
+def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
+                  rng_rounds: int, n_chan: int, n_types: int, typ_chan: int,
+                  tag_chan: int, n_excl: int, ex_chan: int, s_exp: float,
+                  xr: int = 1, bf16_v: bool = False):
+    """One grid step = one (cy row, z-chunk): out (C, 1, 1, K, L).
+
+    bf16_v: velocity channels arrive as a separate bfloat16 stack (row 31
+    mixed precision — halves their HBM/VMEM traffic; positions and
+    accumulation stay fp32)."""
+    scal_ref, iscal_ref, tab_ref = refs[0], refs[1], refs[2]
+    b0, b1, b2 = refs[3], refs[4], refs[5]
+    if bf16_v:
+        bv = refs[6:9]
+        out_ref, bands_s, bands_sv = refs[9], refs[10], refs[11]
+    else:
+        out_ref, bands_s = refs[6], refs[7]
+    a = scal_ref[0, 0]
+    gamma = scal_ref[0, 1]
+    sigma_dt = scal_ref[0, 2]     # sigma / sqrt(dt), pre-folded
+    rc = scal_ref[0, 3]
+    lx = scal_ref[0, 4]
+    ly = scal_ref[0, 5]
+    lz = scal_ref[0, 6]
+    inv_lx = scal_ref[0, 7]
+    inv_ly = scal_ref[0, 8]
+    inv_lz = scal_ref[0, 9]
+    excl_w = scal_ref[0, 10]
+    if rng_mode == "tea":
+        step_u = iscal_ref[0, 0].astype(jnp.uint32)
+        seed_u = iscal_ref[0, 1].astype(jnp.uint32)
+
+    # stage the three cy bands into one scratch indexable by a traced dy
+    bands_s[0] = b0[:, 0, 0]
+    bands_s[1] = b1[:, 0, 0]
+    bands_s[2] = b2[:, 0, 0]
+    if bf16_v:
+        for i in range(3):
+            bands_sv[i] = bv[i][:, 0, 0]
+    h_idx = 3 if bf16_v else _H
+    val_idx = 4 if bf16_v else _VALID
+
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (k, l_lane), 0)
+    # x-window +-xr: 1 for strict buckets, 2 for right-spill packing
+    # (slot-cell may differ from true cell by one on either side of a pair)
+    offsets = [dz * w_lane + dx for dz in (-1, 0, 1)
+               for dx in range(-xr, xr + 1)]
+    n_off = len(offsets)
+    branches = [
+        (lambda rows, _o=o: tuple(_roll_lane(p, _o) for p in rows))
+        for o in offsets
+    ]
+
+    def selfc(c):  # (k, L)
+        return bands_s[1, c]
+
+    def selfv(i):  # velocity component i, (k, L) f32
+        if bf16_v:
+            return bands_sv[1, i].astype(jnp.float32)
+        return bands_s[1, _VX + i]
+
+    def body(it, acc):
+        fx, fy, fz, vir = acc
+        j = it // (3 * n_off)
+        r = it - j * (3 * n_off)
+        dy = r // n_off
+        o = r - dy * n_off
+
+        rows = tuple(bands_s[dy, c, pl.ds(j, 1), :] for c in range(n_chan))
+        if bf16_v:
+            rows = rows + tuple(
+                bands_sv[dy, i, pl.ds(j, 1), :].astype(jnp.float32)
+                for i in range(3))
+        rows = jax.lax.switch(o, branches, rows)
+
+        def rowv(i):  # velocity component i, (1, L) f32
+            return rows[n_chan + i] if bf16_v else rows[_VX + i]
+
+        if n_types > 1:
+            code = selfc(typ_chan) * jnp.float32(n_types) + rows[typ_chan]
+            a_ij = tab_ref[0, 0]
+            g_ij = tab_ref[1, 0]
+            s_ij = tab_ref[2, 0]
+            rc_ij = tab_ref[3, 0]
+            for p in range(1, n_types * n_types):
+                sel = code == jnp.float32(p)
+                a_ij = jnp.where(sel, tab_ref[0, p], a_ij)
+                g_ij = jnp.where(sel, tab_ref[1, p], g_ij)
+                s_ij = jnp.where(sel, tab_ref[2, p], s_ij)
+                rc_ij = jnp.where(sel, tab_ref[3, p], rc_ij)
+        else:
+            a_ij, g_ij, s_ij, rc_ij = a, gamma, sigma_dt, rc
+
+        # minimum image on ALL axes: wrap-duplicate columns / rolled wrap
+        # rows carry raw coordinates, and a particle can wrap the global box
+        # mid-window while still bucketed at the far side (PERF_NOTES.md)
+        drx = selfc(_SX) - rows[_SX]
+        drx = drx - jnp.round(drx * inv_lx) * lx
+        dry = selfc(_SY) - rows[_SY]
+        dry = dry - jnp.round(dry * inv_ly) * ly
+        drz = selfc(_SZ) - rows[_SZ]
+        drz = drz - jnp.round(drz * inv_lz) * lz
+        r2 = drx * drx + dry * dry + drz * drz
+        ok = (r2 < rc_ij * rc_ij) & (r2 > 0.0)
+        ok = ok & (selfc(val_idx) * rows[val_idx] > 0.5)
+        skip_self = (dy == 1) & (o == n_off // 2)
+        ok = ok & ~((s_iota == j) & skip_self)
+        r2s = jnp.where(ok, r2, 1.0)
+        rinv = jax.lax.rsqrt(r2s)
+        rr = r2s * rinv
+        w = 1.0 - rr / rc_ij
+        if s_exp == 1.0:
+            wr = w
+        else:
+            wr = jnp.power(w, jnp.float32(s_exp))
+        dvx = selfv(0) - rowv(0)
+        dvy = selfv(1) - rowv(1)
+        dvz = selfv(2) - rowv(2)
+        ev = (drx * dvx + dry * dvy + drz * dvz) * rinv
+        if rng_mode == "tea":
+            tgs = pltpu.bitcast(selfc(tag_chan), jnp.int32)
+            tgj = pltpu.bitcast(rows[tag_chan], jnp.int32)
+            lo = jnp.minimum(tgs, tgj).astype(jnp.uint32)
+            hi = jnp.maximum(tgs, tgj).astype(jnp.uint32)
+            v0, _ = rngmod.tea(lo, hi, step_u, seed_u, rounds=rng_rounds)
+            theta = rngmod._u32_to_symmetric_uniform(v0)
+        else:
+            hs = pltpu.bitcast(selfc(h_idx), jnp.uint32)
+            hj = pltpu.bitcast(rows[h_idx], jnp.uint32)
+            theta = rngmod.pair_uniform_fast(hs, hj)
+        fmag = a_ij * w - g_ij * (wr * wr) * ev + s_ij * wr * theta
+        fmag = jnp.where(ok, fmag, 0.0)
+        if n_excl:
+            tgj_x = pltpu.bitcast(rows[tag_chan], jnp.int32)
+            hit = pltpu.bitcast(selfc(ex_chan), jnp.int32) == tgj_x
+            for e in range(1, n_excl):
+                hit = hit | (pltpu.bitcast(selfc(ex_chan + e),
+                                           jnp.int32) == tgj_x)
+            fmag = fmag * jnp.where(hit, excl_w, 1.0)
+        fr = fmag * rinv
+        return (fx + fr * drx, fy + fr * dry, fz + fr * drz,
+                vir + 0.5 * fmag * rr)
+
+    zero = jnp.zeros((k, l_lane), jnp.float32)
+    fx, fy, fz, vir = jax.lax.fori_loop(0, 3 * n_off * k, body,
+                                        (zero, zero, zero, zero))
+    out_ref[0, 0, 0] = fx
+    out_ref[1, 0, 0] = fy
+    out_ref[2, 0, 0] = fz
+    out_ref[3, 0, 0] = vir
+
+
+def _auto_z_chunks(n_chan: int, k: int, nz: int, w_lane: int,
+                   budget_bytes: int = 9 * 2 ** 20) -> int:
+    """Smallest divisor of nz keeping the kernel VMEM footprint in budget:
+    3 band blocks (double-buffered) + the bands scratch."""
+    k_phys = -(-k // 8) * 8
+    for zc in range(1, nz + 1):
+        if nz % zc:
+            continue
+        l_phys = -(-((nz // zc + (2 if zc > 1 else 0)) * w_lane) // 128) * 128
+        if 9 * n_chan * k_phys * l_phys * 4 <= budget_bytes:
+            return zc
+    return nz
+
+
+@partial(jax.jit, static_argnames=("dt", "cfg", "rng_mode", "rng_rounds",
+                                   "interpret", "s_exp", "z_chunks",
+                                   "bf16_v"))
+def bucket_forces_pallas_fused(x: Array, v: Array, typ: Array, tag: Array,
+                               mask: Array, box: Box, step: Array,
+                               params: DPDParams, dt: float, cfg: CellConfig,
+                               rng_mode: str = "fast", rng_rounds: int = 8,
+                               interpret: bool | None = None,
+                               s_exp: float = 1.0, z_chunks: int = 0,
+                               bf16_v: bool = False):
+    """Forces for bucket-resident rows via the fused-lane kernel.
+
+    Interface matches ``ops.bucket_dpd.bucket_forces_xla`` (its
+    bit-reference). ``s_exp`` is the STATIC generalized-weight exponent and
+    must equal the runtime ``params.s_exp`` (System carries it; the s=1
+    specialization emits no transcendentals). ``z_chunks``: split the fused
+    (cz, cx) lane axis into chunks (0 = auto from the VMEM budget).
+    """
+    if interpret is None:
+        interpret = os.environ.get("MESO_PALLAS_INTERPRET") == "1"
+    nx, ny, nz = cfg.ncell
+    k = cfg.capacity
+    nr = x.shape[0]
+    xr = 2 if cfg.spill else 1
+    if nx < 2 * xr + 1:
+        raise ValueError(f"ncx={nx} too small for the +-{xr} circular "
+                         "x-window (needs ncx >= 2*xr+1)")
+    w_lane = nx + 2 * xr
+
+    h = rngmod.particle_hash(tag, step, params.seed, rounds=rng_rounds)
+    shape = (ny, nz, k, nx)
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    chans = [
+        x[:, 0].reshape(shape), x[:, 1].reshape(shape), x[:, 2].reshape(shape),
+    ]
+    if not bf16_v:
+        chans += [v[:, 0].reshape(shape), v[:, 1].reshape(shape),
+                  v[:, 2].reshape(shape)]
+    chans += [
+        bc(h).reshape(shape),
+        mask.astype(jnp.float32).reshape(shape),
+    ]
+    n_types = params.a.shape[0]
+    typ_chan = tag_chan = ex_chan = -1
+    n_excl = 0
+    if rng_mode == "tea":
+        tag_chan = len(chans)
+        chans.append(bc(tag).reshape(shape))
+    elif rng_mode != "fast":
+        raise ValueError(f"unknown rng_mode {rng_mode!r}")
+    if n_types > 1:
+        typ_chan = len(chans)
+        chans.append(typ.astype(jnp.float32).reshape(shape))
+    if params.excl is not None:
+        n_excl = params.excl.shape[1]
+        if tag_chan < 0:
+            tag_chan = len(chans)
+            chans.append(bc(tag).reshape(shape))
+        ex_chan = len(chans)
+        ex = params.excl[tag]                        # (nr, E) gather
+        for e in range(n_excl):
+            chans.append(bc(ex[:, e]).reshape(shape))
+    n_chan = len(chans)
+
+    zc = z_chunks
+    if zc <= 0:
+        zc = _auto_z_chunks(n_chan + (2 if bf16_v else 0), k, nz, w_lane)
+    if nz % zc:
+        raise ValueError(f"z_chunks={zc} must divide ncz={nz}")
+    nzc = nz // zc
+
+    def prep(stack):
+        """(C', ny, nz, k, nx) -> cy-padded (C', ny+2, zc, k, L) view."""
+        c_dim = stack.shape[0]
+        planes = stack.transpose(0, 1, 3, 2, 4)     # (C', ny, k, nz, nx)
+        if zc > 1:
+            zpad = jnp.concatenate(
+                [planes[..., -1:, :], planes, planes[..., :1, :]], axis=3)
+            chunks = jnp.stack(
+                [zpad[..., i * nzc:i * nzc + nzc + 2, :]
+                 for i in range(zc)], axis=2)
+        else:
+            chunks = planes[:, :, None]             # (C', ny, 1, k, nz, nx)
+        chunks = jnp.concatenate(
+            [chunks[..., -xr:], chunks, chunks[..., :xr]], axis=-1)
+        vw = chunks.reshape(c_dim, ny, zc, k, l_lane)
+        return jnp.concatenate([vw[:, -1:], vw, vw[:, :1]], axis=1)
+
+    body_z = (nzc + 2) if zc > 1 else nz
+    l_lane = body_z * w_lane
+    view = prep(jnp.stack(chans))
+    if bf16_v:
+        vview = prep(jnp.stack(
+            [v[:, i].astype(jnp.bfloat16).reshape(shape) for i in range(3)]))
+
+    dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
+    lens = box.lengths
+    scal = jnp.stack([
+        params.a[0, 0], params.gamma[0, 0],
+        params.sigma[0, 0] * dt_inv_sqrt, params.rc[0, 0],
+        lens[0], lens[1], lens[2],
+        1.0 / lens[0], 1.0 / lens[1], 1.0 / lens[2],
+        jnp.float32(1.0) if params.excl_w is None else params.excl_w,
+        jnp.float32(0)]).reshape(1, 12)
+    iscal = jnp.stack([jnp.asarray(step, jnp.int32),
+                       params.seed.astype(jnp.int32)]).reshape(1, 2)
+    if n_types > 1:
+        tab = jnp.stack([params.a.reshape(-1), params.gamma.reshape(-1),
+                         params.sigma.reshape(-1) * dt_inv_sqrt,
+                         params.rc.reshape(-1)])
+    else:
+        tab = jnp.zeros((4, 1), jnp.float32)
+
+    def band_spec(dy):
+        return pl.BlockSpec(
+            (n_chan, 1, 1, k, l_lane),
+            index_map=lambda cy, cb: (0, cy + dy, cb, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def vband_spec(dy):
+        return pl.BlockSpec(
+            (3, 1, 1, k, l_lane),
+            index_map=lambda cy, cb: (0, cy + dy, cb, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, 12), lambda cy, cb: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2), lambda cy, cb: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(tab.shape, lambda cy, cb: (0, 0),
+                     memory_space=pltpu.SMEM),
+        band_spec(0), band_spec(1), band_spec(2),
+    ]
+    inputs = [scal, iscal, tab, view, view, view]
+    scratches = [pltpu.VMEM((3, n_chan, k, l_lane), jnp.float32)]
+    if bf16_v:
+        in_specs += [vband_spec(0), vband_spec(1), vband_spec(2)]
+        inputs += [vview, vview, vview]
+        scratches.append(pltpu.VMEM((3, 3, k, l_lane), jnp.bfloat16))
+
+    out = pl.pallas_call(
+        partial(_fused_kernel, k=k, w_lane=w_lane, l_lane=l_lane,
+                rng_mode=rng_mode, rng_rounds=rng_rounds, n_chan=n_chan,
+                n_types=n_types, typ_chan=typ_chan, tag_chan=tag_chan,
+                n_excl=n_excl, ex_chan=ex_chan, s_exp=s_exp, xr=xr,
+                bf16_v=bf16_v),
+        grid=(ny, zc),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (4, 1, 1, k, l_lane),
+            index_map=lambda cy, cb: (0, cy, cb, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, ny, zc, k, l_lane), jnp.float32),
+        scratch_shapes=scratches,
+        interpret=interpret,
+    )(*inputs)
+
+    out = out.reshape(4, ny, zc, k, body_z, w_lane)[..., xr:-xr]
+    if zc > 1:
+        out = out[..., 1:-1, :]
+    # (4, ny, zc, k, nzc, nx) -> (4, ny, zc, nzc, k, nx) -> rows
+    out = out.transpose(0, 1, 2, 4, 3, 5).reshape(4, ny, nz, k, nx)
+    f = jnp.stack([out[0].reshape(nr), out[1].reshape(nr),
+                   out[2].reshape(nr)], axis=-1)
+    return f, jnp.sum(out[3])
+
+
+@partial(jax.jit, static_argnames=("dt", "cfg", "ext", "rng_mode",
+                                   "rng_rounds", "interpret", "s_exp",
+                                   "n_types", "n_excl", "vma"))
+def halo_forces_pallas_fused(channels: dict, box: Box, step: Array,
+                             params: DPDParams, dt: float, cfg: CellConfig,
+                             ext: tuple = ("x",), rng_mode: str = "fast",
+                             rng_rounds: int = 8,
+                             interpret: bool | None = None,
+                             s_exp: float = 1.0, n_types: int = 1,
+                             n_excl: int = 0, vma: tuple = ("x",)):
+    """Fused-lane kernel over a halo-EXTENDED local brick — the multi-chip
+    hot path for 1-D/2-D/3-D spatial decomposition (SURVEY §2c row 1).
+
+    ``channels``: dict of (ny_e, nz_e, K, nx_e) planes; each axis named in
+    ``ext`` is extended by ONE ppermuted halo layer per side (the outputs of
+    ``parallel.domain*._halo_channels*``/``_exchange_halos_channels``);
+    axes not in ``ext`` are periodic in-brick and wrap pads are added here.
+    Required keys: x,y,z,vx,vy,vz,h,tag,valid (+typ when n_types>1, +EX*
+    when n_excl>0). Halo coordinates may be raw or wrap-pre-shifted — the
+    kernel min-images every axis against the GLOBAL box. Right-spill
+    packing is not supported under DD (halo reach is one column).
+
+    Returns (f (local nr, 3), virial).
+    """
+    if interpret is None:
+        interpret = os.environ.get("MESO_PALLAS_INTERPRET") == "1"
+    if cfg.spill:
+        raise NotImplementedError("distributed fused kernel: spill layout "
+                                  "needs 2-column halos (pending)")
+    nx, ny, nz = cfg.ncell
+    k = cfg.capacity
+    nr = ny * nz * k * nx
+    xr = 1
+    w_lane = nx + 2
+
+    bc = lambda a: jax.lax.bitcast_convert_type(a.astype(jnp.int32),
+                                                jnp.float32)
+    chans = [channels["x"], channels["y"], channels["z"], channels["vx"],
+             channels["vy"], channels["vz"], bc(channels["h"]),
+             channels["valid"]]
+    typ_chan = tag_chan = ex_chan = -1
+    if rng_mode == "tea" or n_excl:
+        tag_chan = len(chans)
+        chans.append(bc(channels["tag"]))
+    if n_types > 1:
+        typ_chan = len(chans)
+        chans.append(channels["typ"].astype(jnp.float32))
+    if n_excl:
+        ex_chan = len(chans)
+        for e in range(n_excl):
+            chans.append(bc(channels[f"EX{e}"]))
+    n_chan = len(chans)
+    planes = jnp.stack(chans)          # (C, ny_e, nz_e, k, nx_e)
+    planes = planes.transpose(0, 1, 3, 2, 4)   # (C, ny_e, k, nz_e, nx_e)
+
+    if "x" not in ext:
+        planes = jnp.concatenate(
+            [planes[..., -1:], planes, planes[..., :1]], axis=-1)
+    if "z" not in ext:
+        planes = jnp.concatenate(
+            [planes[..., -1:, :], planes, planes[..., :1, :]], axis=3)
+    body_z = nz + 2
+    l_lane = body_z * w_lane
+    view = planes.reshape(n_chan, planes.shape[1], 1, k, l_lane)
+    if "y" not in ext:
+        view = jnp.concatenate([view[:, -1:], view, view[:, :1]], axis=1)
+
+    dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
+    lens = box.lengths
+    scal = jnp.stack([
+        params.a[0, 0], params.gamma[0, 0],
+        params.sigma[0, 0] * dt_inv_sqrt, params.rc[0, 0],
+        lens[0], lens[1], lens[2],
+        1.0 / lens[0], 1.0 / lens[1], 1.0 / lens[2],
+        jnp.float32(1.0) if params.excl_w is None else params.excl_w,
+        jnp.float32(0)]).reshape(1, 12)
+    iscal = jnp.stack([jnp.asarray(step, jnp.int32),
+                       params.seed.astype(jnp.int32)]).reshape(1, 2)
+    if n_types > 1:
+        tab = jnp.stack([params.a.reshape(-1), params.gamma.reshape(-1),
+                         params.sigma.reshape(-1) * dt_inv_sqrt,
+                         params.rc.reshape(-1)])
+    else:
+        tab = jnp.zeros((4, 1), jnp.float32)
+
+    def band_spec(dy):
+        return pl.BlockSpec(
+            (n_chan, 1, 1, k, l_lane),
+            index_map=lambda cy, cb: (0, cy + dy, cb, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, 12), lambda cy, cb: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2), lambda cy, cb: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(tab.shape, lambda cy, cb: (0, 0),
+                     memory_space=pltpu.SMEM),
+        band_spec(0), band_spec(1), band_spec(2),
+    ]
+
+    out = pl.pallas_call(
+        partial(_fused_kernel, k=k, w_lane=w_lane, l_lane=l_lane,
+                rng_mode=rng_mode, rng_rounds=rng_rounds, n_chan=n_chan,
+                n_types=n_types, typ_chan=typ_chan, tag_chan=tag_chan,
+                n_excl=n_excl, ex_chan=ex_chan, s_exp=s_exp, xr=xr),
+        grid=(ny, 1),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (4, 1, 1, k, l_lane),
+            index_map=lambda cy, cb: (0, cy, cb, 0, 0),
+            memory_space=pltpu.VMEM),
+        # vma: always called inside shard_map; the output varies over the
+        # decomposition axes (check_vma needs it explicit)
+        out_shape=jax.ShapeDtypeStruct((4, ny, 1, k, l_lane), jnp.float32,
+                                       vma=frozenset(vma)),
+        scratch_shapes=[pltpu.VMEM((3, n_chan, k, l_lane), jnp.float32)],
+        interpret=interpret,
+    )(scal, iscal, tab, view, view, view)
+
+    out = out.reshape(4, ny, 1, k, body_z, w_lane)[..., 1:-1]
+    out = out[..., 1:-1, :]
+    out = out.transpose(0, 1, 2, 4, 3, 5).reshape(4, ny, nz, k, nx)
+    f = jnp.stack([out[0].reshape(nr), out[1].reshape(nr),
+                   out[2].reshape(nr)], axis=-1)
+    return f, jnp.sum(out[3])

@@ -38,13 +38,15 @@ def _lane_tile(p: Array, reps: int) -> Array:
 
 
 def _kernel(*refs, k: int, nx: int, model: str, ns: int, n_chan: int,
-            n_out: int, rng_mode: str, rng_rounds: int):
+            n_out: int, rng_mode: str, rng_rounds: int, n_types: int = 1,
+            typ_chan: int = -1):
     scal_ref = refs[0]
     iscal_ref = refs[1]      # SMEM (1, 2) int32: [step, seed]
-    selfref = refs[2]
-    rows = refs[3:12]
-    out_ref = refs[12]
-    rows_s = refs[13]
+    tab_ref = refs[2]        # SMEM (4, max(1, T*T)): per-type-pair tables
+    selfref = refs[3]
+    rows = refs[4:13]
+    out_ref = refs[13]
+    rows_s = refs[14]
     a = scal_ref[0, 0]
     gamma = scal_ref[0, 1]
     sigma0 = scal_ref[0, 2]   # tdpd: precomputed sigma; edpd: unused
@@ -78,6 +80,8 @@ def _kernel(*refs, k: int, nx: int, model: str, ns: int, n_chan: int,
         ts = selfchan(9)
     else:
         cs = [selfchan(9 + s) for s in range(ns)]
+    if n_types > 1:
+        tis = selfchan(typ_chan)   # f32 type codes
 
     s_idx = jax.lax.broadcasted_iota(jnp.int32, (k, k * nx), 1) // nx
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (k, k * nx), 0)
@@ -94,6 +98,23 @@ def _kernel(*refs, k: int, nx: int, model: str, ns: int, n_chan: int,
                 r = pltpu.roll(p, (-dx) % nx, 1) if dx else p
                 return _lane_tile(r, k)
 
+            if n_types > 1:
+                # per-pair coefficients via the SMEM select chain (same
+                # mechanism as the classic kernels; SURVEY rows 22-23)
+                code = tis * jnp.float32(n_types) + nb(chan(typ_chan))
+                a_ij = tab_ref[0, 0]
+                g_ij = tab_ref[1, 0]
+                rc_ij = tab_ref[2, 0]
+                x4_ij = tab_ref[3, 0]   # edpd: kappa; tdpd: sigma
+                for pcode in range(1, n_types * n_types):
+                    sel = code == jnp.float32(pcode)
+                    a_ij = jnp.where(sel, tab_ref[0, pcode], a_ij)
+                    g_ij = jnp.where(sel, tab_ref[1, pcode], g_ij)
+                    rc_ij = jnp.where(sel, tab_ref[2, pcode], rc_ij)
+                    x4_ij = jnp.where(sel, tab_ref[3, pcode], x4_ij)
+            else:
+                a_ij, g_ij, rc_ij = a, gamma, rc
+                x4_ij = kappa if model == "edpd" else sigma0
             # min-image ALL axes: a particle can wrap the global box
             # mid-window while still bucketed at the far side
             drx = sxs - nb(chan(_SX))
@@ -103,14 +124,14 @@ def _kernel(*refs, k: int, nx: int, model: str, ns: int, n_chan: int,
             drz = szs - nb(chan(_SZ))
             drz = drz - jnp.round(drz / lz) * lz
             r2 = drx * drx + dry * dry + drz * drz
-            ok = (r2 < rc * rc) & (r2 > 0.0)
+            ok = (r2 < rc_ij * rc_ij) & (r2 > 0.0)
             ok = ok & (nb(chan(_VALID)) * vs > 0.5)
             if dx == 0:
                 ok = ok & ~(self_pair & is_center)
             r2s = jnp.where(ok, r2, 1.0)
             rinv = jax.lax.rsqrt(r2s)
             r = r2s * rinv
-            w = 1.0 - r / rc
+            w = 1.0 - r / rc_ij
             w2 = w * w
             dvx = vxs - nb(chan(_VX))
             dvy = vys - nb(chan(_VY))
@@ -131,15 +152,15 @@ def _kernel(*refs, k: int, nx: int, model: str, ns: int, n_chan: int,
 
             if model == "edpd":
                 tj = nb(chan(9))
-                sigma2 = 4.0 * gamma * ts * tj / jnp.maximum(ts + tj, 1e-12)
+                sigma2 = 4.0 * g_ij * ts * tj / jnp.maximum(ts + tj, 1e-12)
                 sigma = jnp.sqrt(jnp.maximum(sigma2, 0.0))
-                fmag = (a * w - gamma * w2 * ev
+                fmag = (a_ij * w - g_ij * w2 * ev
                         + sigma * w * theta * dt_inv_sqrt)
                 fmag = jnp.where(ok, fmag, 0.0)
-                k_ij = kappa * 0.25 * (ts + tj) ** 2
+                k_ij = x4_ij * 0.25 * (ts + tj) ** 2
                 q_c = k_ij * w2 * (1.0 / jnp.maximum(ts, 1e-12)
                                    - 1.0 / jnp.maximum(tj, 1e-12))
-                q_v = 0.5 * (w2 * (gamma * ev * ev - sigma2 * inv_mass)
+                q_v = 0.5 * (w2 * (g_ij * ev * ev - sigma2 * inv_mass)
                              - sigma * w * ev * theta * dt_inv_sqrt)
                 zeta = sign * rngmod.uniform_stream(hp, 1)
                 beta = jnp.sqrt(jnp.maximum(2.0 * k_ij, 0.0))
@@ -147,8 +168,8 @@ def _kernel(*refs, k: int, nx: int, model: str, ns: int, n_chan: int,
                 q = jnp.where(ok, q_c + q_v + q_r, 0.0)
                 extra = [q]
             else:  # tdpd
-                fmag = (a * w - gamma * w2 * ev
-                        + sigma0 * w * theta * dt_inv_sqrt)
+                fmag = (a_ij * w - g_ij * w2 * ev
+                        + x4_ij * w * theta * dt_inv_sqrt)
                 fmag = jnp.where(ok, fmag, 0.0)
                 # transport weight: w_dc = (1 - r/rcc)^s1 with its own
                 # cutoff rcc <= rc (scal slots 6/7 repurposed from edpd)
@@ -197,12 +218,18 @@ def bucket_forces_pallas_edpd(x, v, t, typ, tag, mask, box: Box, step,
     Interface matches ops.edpd.bucket_forces_edpd (both RNG tiers)."""
     scal_extra = jnp.stack([params.kappa[0, 0], 1.0 / params.mass])
     model_chans = [t]
+    n_types = params.a.shape[0]
+    tab = None
+    if n_types > 1:
+        model_chans = model_chans + [typ.astype(jnp.float32)]
+        tab = jnp.stack([params.a.reshape(-1), params.gamma.reshape(-1),
+                         params.rc.reshape(-1), params.kappa.reshape(-1)])
     out = _call(x, v, tag, mask, box, step, params, dt, cfg, rng_rounds,
                 interpret, rng_mode=rng_mode,
                 model="edpd", ns=0, model_chans=model_chans,
                 scal_mid=jnp.stack([params.a[0, 0], params.gamma[0, 0],
                                     jnp.float32(0.0), params.rc[0, 0]]),
-                scal_extra=scal_extra, n_out=5)
+                scal_extra=scal_extra, n_out=5, n_types=n_types, tab=tab)
     nr = x.shape[0]
     f = jnp.stack([out[0].reshape(nr), out[1].reshape(nr),
                    out[2].reshape(nr)], -1)
@@ -223,6 +250,12 @@ def bucket_forces_pallas_tdpd(x, v, c, typ, tag, mask, box: Box, step,
     per_species = []
     for s in range(ns):
         per_species += [params.kappa_c[s], params.eps_c[s]]
+    n_types = params.a.shape[0]
+    tab = None
+    if n_types > 1:
+        model_chans = model_chans + [typ.astype(jnp.float32)]
+        tab = jnp.stack([params.a.reshape(-1), params.gamma.reshape(-1),
+                         params.rc.reshape(-1), params.sigma.reshape(-1)])
     out = _call(x, v, tag, mask, box, step, params, dt, cfg, rng_rounds,
                 interpret, rng_mode=rng_mode,
                 model="tdpd", ns=ns, model_chans=model_chans,
@@ -230,7 +263,7 @@ def bucket_forces_pallas_tdpd(x, v, c, typ, tag, mask, box: Box, step,
                                     params.sigma[0, 0], params.rc[0, 0]]),
                 scal_extra=jnp.stack([params.rcc, params.s1]
                                      + per_species),
-                n_out=4 + ns)
+                n_out=4 + ns, n_types=n_types, tab=tab)
     nr = x.shape[0]
     f = jnp.stack([out[0].reshape(nr), out[1].reshape(nr),
                    out[2].reshape(nr)], -1)
@@ -240,7 +273,7 @@ def bucket_forces_pallas_tdpd(x, v, c, typ, tag, mask, box: Box, step,
 
 def _call(x, v, tag, mask, box, step, params, dt, cfg, rng_rounds,
           interpret, *, model, ns, model_chans, scal_mid, scal_extra, n_out,
-          rng_mode="fast"):
+          rng_mode="fast", n_types=1, tab=None):
     nx, ny, nz = cfg.ncell
     k = cfg.capacity
     h = rngmod.particle_hash(tag, step, params.seed, rounds=rng_rounds)
@@ -255,6 +288,9 @@ def _call(x, v, tag, mask, box, step, params, dt, cfg, rng_rounds,
         jax.lax.bitcast_convert_type(tag, jnp.float32).reshape(shape),
     ] + [mc.reshape(shape) for mc in model_chans]
     n_chan = len(chans)
+    typ_chan = n_chan - 1 if n_types > 1 else -1
+    if tab is None:
+        tab = jnp.zeros((4, 1), jnp.float32)
     planes = jnp.stack(chans)
     padded = jnp.pad(planes, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)),
                      mode="wrap")
@@ -286,6 +322,8 @@ def _call(x, v, tag, mask, box, step, params, dt, cfg, rng_rounds,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 2), lambda cy, cz: (0, 0),
                      memory_space=pltpu.SMEM),
+        pl.BlockSpec(tab.shape, lambda cy, cz: (0, 0),
+                     memory_space=pltpu.SMEM),
         pl.BlockSpec((n_chan, 1, 1, k * nx),
                      index_map=lambda cy, cz: (
                          0, (cy + 1) * (nz + 2) + (cz + 1), 0, 0),
@@ -295,7 +333,8 @@ def _call(x, v, tag, mask, box, step, params, dt, cfg, rng_rounds,
 
     out = pl.pallas_call(
         partial(_kernel, k=k, nx=nx, model=model, ns=ns, n_chan=n_chan,
-                n_out=n_out, rng_mode=rng_mode, rng_rounds=rng_rounds),
+                n_out=n_out, rng_mode=rng_mode, rng_rounds=rng_rounds,
+                n_types=n_types, typ_chan=typ_chan),
         grid=(ny, nz),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -306,5 +345,5 @@ def _call(x, v, tag, mask, box, step, params, dt, cfg, rng_rounds,
                                        jnp.float32),
         scratch_shapes=[pltpu.VMEM((9, n_chan, k, nx), jnp.float32)],
         interpret=interpret,
-    )(scal, iscal, self_view, *([rows_view] * 9))
+    )(scal, iscal, tab, self_view, *([rows_view] * 9))
     return [out[o].reshape(ny, nz, k, nx) for o in range(n_out)]

@@ -20,16 +20,22 @@ def classic_fluid(l: float = 32.0, density: float = 3.0, kt: float = 1.0,
                   dt: float = 0.01, seed: int = 928459, init_seed: int = 0,
                   skin: float = 0.3, rebuild_every: int = 10,
                   rng_mode: str = "tea", force_path: str = "nlist",
+                  spill: bool | None = None,
                   ) -> tuple[System, SystemParams, State]:
-    """Build (system, params, state) for the classic fluid, forces initialized."""
+    """Build (system, params, state) for the classic fluid, forces initialized.
+
+    spill: right-spill bucket packing (K ~ 1.6x mean occupancy; fused
+    kernel only). Default: on for force_path="pallas"."""
     box = Box.cubic(l)
     n = int(round(density * l ** 3))
     state = create_random(jax.random.PRNGKey(init_seed), n, box, kt=kt)
     params = SystemParams.build(
         DPDParams.build(a=a, gamma=gamma, rc=rc, kt=kt, seed=seed))
+    if spill is None:
+        spill = force_path == "pallas"
     system = System.for_fluid([l] * 3, rc=rc, density=density, dt=dt,
                               skin=skin, rebuild_every=rebuild_every,
-                              rng_mode=rng_mode)
+                              rng_mode=rng_mode, spill=spill)
     if force_path != "nlist":
         system = system.replace(force_path=force_path)
     return system, params, setup(system, params, state)

@@ -151,11 +151,13 @@ def membrane_suspension(l: float = 12.0, density: float = 3.0,
                         rc: float = 1.0, dt: float = 0.01,
                         kbt_p: float = 50.0, k_p: float = 0.2, m_pow: float = 2.0,
                         ka: float = 500.0, kv: float = 500.0, kb: float = 20.0,
+                        ka_local: float = 100.0,
                         seed: int = 661, init_seed: int = 6,
                         force_path: str = "nlist", rng_mode: str = "fast",
                         skin: float = 0.3):
     """One icosphere vesicle (type 0 like solvent) in DPD solvent.
-    Edges: WLC-POW springs; global area+volume penalties. Returns
+    Edges: WLC-POW springs; global + per-triangle LOCAL area conservation
+    and volume penalty (SURVEY A.4). Returns
     (system, params, state, mesh_info)."""
     rs = np.random.RandomState(init_seed)
     verts, faces = icosphere(subdiv)
@@ -197,7 +199,8 @@ def membrane_suspension(l: float = 12.0, density: float = 3.0,
     e1 = p[faces[:, 1]] - p[faces[:, 0]]
     e2 = p[faces[:, 2]] - p[faces[:, 0]]
     cr = np.cross(e1, e2)
-    area0 = float(0.5 * np.linalg.norm(cr, axis=1).sum())
+    tri_a0 = 0.5 * np.linalg.norm(cr, axis=1)
+    area0 = float(tri_a0.sum())
     vol0 = float(np.abs((p[faces[:, 0]] * cr).sum() / 6.0))
 
     # bending hinges with the icosphere's rest dihedral as theta0
@@ -216,7 +219,9 @@ def membrane_suspension(l: float = 12.0, density: float = 3.0,
         bond_coeffs=jnp.asarray([[kbt_p, l_max, k_p, m_pow]], jnp.float32),
         tri_tags=jnp.asarray(faces + 1, jnp.int32),
         tri_mol=jnp.zeros(len(faces), jnp.int32),
-        membrane=jnp.asarray([[ka, area0, kv, vol0, kb, 0.0]], jnp.float32),
+        membrane=jnp.asarray([[ka, area0, kv, vol0, ka_local, 0.0]],
+                             jnp.float32),
+        tri_a0=jnp.asarray(tri_a0, jnp.float32),
         hinge_tags=jnp.asarray(hinges + 1, jnp.int32),
         hinge_coeffs=jnp.asarray(hinge_coeffs, jnp.float32))
 

@@ -124,22 +124,60 @@ def rebuild_buckets(state: State, cfg: CellConfig) -> tuple[State, Array]:
     key = jnp.where(state.mask, key, nx * ny * nz)
     order = jnp.argsort(key, stable=True)
     key_s = key[order]
-
-    # rank within cell
-    n_cells = nx * ny * nz
-    starts = jnp.searchsorted(key_s, jnp.arange(n_cells + 1, dtype=key_s.dtype),
-                              side="left")
-    rank = jnp.arange(n_in, dtype=jnp.int32) - starts[
-        jnp.minimum(key_s, n_cells)].astype(jnp.int32)
     valid_s = state.mask[order]
-    fits = valid_s & (rank < k)
-    overflow = jnp.sum(valid_s & (rank >= k))
-
-    # target row: key = base*nx + cx with base = cy*ncz+cz
     base = key_s // nx
     cxs = key_s - base * nx
-    target = (base * k + jnp.minimum(rank, k - 1)) * nx + cxs
-    target = jnp.where(fits, target, nr)  # dropped -> out of bounds ("drop")
+
+    if cfg.spill:
+        # Right-spill assignment: within each (cy,cz) row, particles are
+        # cell-sorted; linear slot l = r + cummax_row(cx*K - r) places each
+        # particle at its own cell's block or spills it RIGHT into the next
+        # cell's free slots (segmented prefix max — one associative_scan,
+        # no extra sorts). l is strictly increasing within a row, so slots
+        # never collide; l >= (cx+2)K means a w-cell window exceeded
+        # (w+1)K particles — counted overflow (checked invariant).
+        n_rows_yz = ny * nz
+        row_starts = jnp.searchsorted(
+            base, jnp.arange(n_rows_yz + 1, dtype=base.dtype), side="left")
+        r = jnp.arange(n_in, dtype=jnp.int32) - row_starts[
+            jnp.minimum(base, n_rows_yz)].astype(jnp.int32)
+        a = cxs.astype(jnp.int32) * k - r
+
+        def comb(left, right):
+            s1, v1 = left
+            s2, v2 = right
+            return s2, jnp.where(s1 == s2, jnp.maximum(v1, v2), v2)
+
+        _, am = jax.lax.associative_scan(comb, (base, a))
+        l_lin = r + am
+        in_row = valid_s & (l_lin < jnp.minimum((cxs + 2) * k, nx * k))
+        # the LAST cell cannot spill right in-row: wrap its overflow into
+        # cell 0's top free slots (the kernel's circular +-2 window plus
+        # the wrap pad columns cover wrap spillers on both sides)
+        m = l_lin - nx * k
+        c0_used = jnp.zeros((n_rows_yz + 1,), jnp.int32).at[
+            jnp.minimum(base, n_rows_yz)].add(
+            (valid_s & (l_lin < k)).astype(jnp.int32))
+        wrap_ok = (valid_s & ~in_row & (cxs == nx - 1) & (m >= 0)
+                   & (m < k) & (k - 1 - m >= c0_used[
+                       jnp.minimum(base, n_rows_yz)]))
+        fits = in_row | wrap_ok
+        overflow = jnp.sum(valid_s & ~fits)
+        cell_a = jnp.where(wrap_ok, 0, l_lin // k)
+        slot = jnp.where(wrap_ok, k - 1 - m, l_lin - (l_lin // k) * k)
+        target = (base * k + slot) * nx + cell_a
+        target = jnp.where(fits, target, nr)
+    else:
+        # rank within cell (strict buckets)
+        n_cells = nx * ny * nz
+        starts = jnp.searchsorted(
+            key_s, jnp.arange(n_cells + 1, dtype=key_s.dtype), side="left")
+        rank = jnp.arange(n_in, dtype=jnp.int32) - starts[
+            jnp.minimum(key_s, n_cells)].astype(jnp.int32)
+        fits = valid_s & (rank < k)
+        overflow = jnp.sum(valid_s & (rank >= k))
+        target = (base * k + jnp.minimum(rank, k - 1)) * nx + cxs
+        target = jnp.where(fits, target, nr)  # dropped -> out of bounds
 
     packed, layout = _pack_rows(state)
     packed_s = jnp.take(packed, order, axis=0)

@@ -47,6 +47,13 @@ class CellConfig:
     capacity: int          # K: max particles per cell
     skin: float = 0.3
     rebuild_every: int = 10
+    # Right-spill packing: a cell's overflow occupies the NEXT x-cell's
+    # free slots (slot-cell may exceed true cell by one). Shrinks K to
+    # ~1.6x the mean occupancy (vs mean+5*sqrt for strict buckets) because
+    # the Poisson tail is absorbed by the neighbor: overflow needs a
+    # w-cell window holding > (w+1)K particles — >= 2.4x mean for every w.
+    # Only the fused Pallas kernel (window +-2) understands this layout.
+    spill: bool = False
 
     @property
     def n_cells(self) -> int:
@@ -56,7 +63,8 @@ class CellConfig:
     @staticmethod
     def for_box(box_lengths, rc: float, density: float, skin: float = 0.3,
                 rebuild_every: int = 10, capacity: int | None = None,
-                min_image_safe: bool = True) -> "CellConfig":
+                min_image_safe: bool = True,
+                spill: bool = False) -> "CellConfig":
         """Choose the grid so cell side >= rc+skin (host-side, static)."""
         import numpy as np
         l = np.asarray(box_lengths, float)
@@ -64,17 +72,25 @@ class CellConfig:
         if min_image_safe:
             # 27-stencil with periodic wrap double-visits cells when ncell < 3
             ncell = np.maximum(ncell, 3)
+        if spill and ncell[0] < 5:
+            # the kernel's circular +-2 x-window is wrap-ambiguous below 5
+            # columns (offsets +2 and -2 reach the same cell)
+            spill = False
         if capacity is None:
             side = l / ncell
             mean_occ = density * float(np.prod(side))
-            # Poisson tail headroom: mean + 5*sqrt(mean) + 2 (P(overflow)
-            # ~ 1e-9/cell at the densities used; overflow counters verify),
-            # rounded up to a multiple of 4 (fp32 sublane alignment)
-            cap = int(np.ceil(mean_occ + 5.0 * np.sqrt(mean_occ) + 2.0))
-            capacity = ((cap + 3) // 4) * 4
+            if spill:
+                # neighbor-absorbed tail: 1.6x mean, multiple of 8 (full
+                # fp32 sublane registers in the kernel)
+                capacity = max(8, int(-(-1.6 * mean_occ // 8)) * 8)
+            else:
+                # Poisson tail headroom: mean + 5*sqrt(mean) + 2
+                # (P(overflow) ~ 1e-9/cell), rounded to a multiple of 4
+                cap = int(np.ceil(mean_occ + 5.0 * np.sqrt(mean_occ) + 2.0))
+                capacity = ((cap + 3) // 4) * 4
         return CellConfig(ncell=tuple(int(v) for v in ncell),
                           capacity=capacity, skin=skin,
-                          rebuild_every=rebuild_every)
+                          rebuild_every=rebuild_every, spill=spill)
 
 
 @jax.tree_util.register_dataclass

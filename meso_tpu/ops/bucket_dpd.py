@@ -31,6 +31,9 @@ def bucket_forces_xla(x: Array, v: Array, typ: Array, tag: Array, mask: Array,
     Supports multi-type coefficient tables and both RNG tiers. Requires
     cell side >= max rc (enforced by CellConfig.for_box).
     """
+    if cfg.spill:
+        raise ValueError("bucket_forces_xla requires strict buckets; the "
+                         "right-spill layout is fused-kernel only")
     nr = x.shape[0]
     h = rngmod.particle_hash(tag, step, params.seed, rounds=rng_rounds)
     channels = make_channels(x, v, tag, mask, h, {}, cfg.ncell, cfg.capacity)

@@ -202,7 +202,16 @@ def _halo_forces(state: State, system: System, params: SystemParams,
     multitype = params.pair.a.shape[0] > 1
     if multitype:
         channels["typ"] = state.typ.reshape(channels["tag"].shape)
-    pair_fn = classic_pair_fn(params.pair, system.dt, multitype=multitype)
+    n_excl = 0
+    if params.pair.excl is not None:
+        # special_bonds on the distributed sweep (SURVEY §2a row 7): each
+        # particle's excluded tags ride as channels through the halo
+        n_excl = params.pair.excl.shape[1]
+        ex = params.pair.excl[state.tag]
+        for e in range(n_excl):
+            channels[f"EX{e}"] = ex[:, e].reshape(channels["tag"].shape)
+    pair_fn = classic_pair_fn(params.pair, system.dt, multitype=multitype,
+                              n_excl=n_excl)
     lens = state.box.lengths
 
     # 1) issue halo exchange (async collectives)
@@ -316,12 +325,15 @@ def _halo_forces_model(state: State, system: System, params: SystemParams,
 
 
 def _halo_forces_pallas(state: State, system: System, params: SystemParams,
-                        dcfg: DomainConfig, step: Array, x: Array, v: Array):
+                        dcfg: DomainConfig, step: Array, x: Array, v: Array,
+                        banded: bool = False):
     """Distributed classic forces on the PALLAS kernel: channel halo
-    exchange (ppermute columns) then ``kernels.pair_dpd.halo_forces_pallas_1d``
-    with halo_x lane slices — the multi-chip hot path (force_path='pallas').
-    """
+    exchange (ppermute columns) then the fused-lane kernel over the
+    x-extended brick — the multi-chip hot path (force_path='pallas').
+    banded=True selects the round-1 banded kernel (force_path
+    'pallas_banded'; no exclusion support there)."""
     from meso_tpu.kernels.pair_dpd import halo_forces_pallas_1d
+    from meso_tpu.kernels.pair_dpd_fused import halo_forces_pallas_fused
     from meso_tpu.ops.sweep import make_channels
 
     cfg = dcfg.cells
@@ -333,15 +345,95 @@ def _halo_forces_pallas(state: State, system: System, params: SystemParams,
     n_types = params.pair.a.shape[0]
     if n_types > 1:
         channels["typ"] = state.typ.reshape(channels["tag"].shape)
+    n_excl = 0
+    if params.pair.excl is not None:
+        if banded:
+            raise NotImplementedError(
+                "special_bonds on the banded distributed kernel is absent; "
+                "use force_path='pallas' (fused) or 'bucket'")
+        n_excl = params.pair.excl.shape[1]
+        ex = params.pair.excl[state.tag]
+        for e in range(n_excl):
+            channels[f"EX{e}"] = ex[:, e].reshape(channels["tag"].shape)
     padded = _halo_channels_1d(channels, dcfg)
-    return halo_forces_pallas_1d(padded, state.box, step, params.pair,
-                                 system.dt, cfg, rng_mode=system.rng_mode,
-                                 rng_rounds=system.rng_rounds,
-                                 n_types=n_types)
+    if banded:
+        return halo_forces_pallas_1d(padded, state.box, step, params.pair,
+                                     system.dt, cfg,
+                                     rng_mode=system.rng_mode,
+                                     rng_rounds=system.rng_rounds,
+                                     n_types=n_types)
+    return halo_forces_pallas_fused(padded, state.box, step, params.pair,
+                                    system.dt, cfg, ext=("x",),
+                                    rng_mode=system.rng_mode,
+                                    rng_rounds=system.rng_rounds,
+                                    s_exp=system.s_exp, n_types=n_types,
+                                    n_excl=n_excl, vma=("x",))
+
+
+def _bonded_ghost_rows(state: State, dcfg: DomainConfig, x1: Array,
+                       image1: Array, reach: int):
+    """Halo ghost ROWS for bonded terms: ppermute ``reach`` boundary
+    cell-plane columns of (x, image, tag, mask), flattened to extra rows.
+
+    The reference ships ghost atoms for bonded gather the same way it ships
+    pair ghosts (``comm_meso.cu`` forward path; SURVEY §2b row 27); here the
+    bonded evaluation runs over [local rows | ghost rows] in tag space and
+    each partner's owner keeps only its own side (no reverse comm). Chains
+    need reach 1 (bond length < cell side); membrane hinges span up to
+    ~sqrt(3) edge lengths plus skin drift and use reach 2."""
+    cfg = dcfg.cells
+    nx, ny, nz = cfg.ncell
+    k = cfg.capacity
+    n = dcfg.n_dev
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    n_ghost = ny * nz * k * reach
+
+    def exchange(a):
+        d = a.shape[1:] if a.ndim > 1 else ()
+        p = a.reshape((ny, nz, k, nx) + d)
+        hl = jax.lax.ppermute(p[:, :, :, nx - reach:], AXIS, fwd)
+        hr = jax.lax.ppermute(p[:, :, :, :reach], AXIS, bwd)
+        return jnp.concatenate(
+            [hl.reshape((n_ghost,) + d), hr.reshape((n_ghost,) + d)])
+
+    return (exchange(x1), exchange(image1),
+            exchange(state.tag), exchange(state.mask.astype(jnp.int32)) > 0)
+
+
+def _bonded_distributed(system: System, params: SystemParams,
+                        dcfg: DomainConfig, state: State, x1: Array,
+                        image1: Array):
+    """Bonded forces over halo-extended rows (SURVEY §2b row 24 under DD).
+
+    Returns (f on local rows, missing-partner count) — ``missing`` is the
+    checked invariant for partners beyond one-cell halo reach."""
+    from meso_tpu.ops.bonded import bonded_forces_ext
+
+    nr = state.n
+    b = params.bonded
+    reach = 2 if (b.hinge_tags is not None or b.tri_tags is not None
+                  or b.angle_tags is not None) else 1
+    reach = min(reach, dcfg.ncx_local)
+    gx, gimg, gtag, gmask = _bonded_ghost_rows(state, dcfg, x1, image1,
+                                               reach)
+    x_ext = jnp.concatenate([x1, gx])
+    img_ext = jnp.concatenate([image1, gimg])
+    tag_ext = jnp.concatenate([state.tag, gtag])
+    mask_ext = jnp.concatenate([state.mask, gmask])
+    owner = jnp.concatenate(
+        [jnp.ones((nr,), bool), jnp.zeros(gx.shape[:1], bool)])
+    f_ext, missing = bonded_forces_ext(
+        x_ext, tag_ext, mask_ext, state.box, params.bonded,
+        system.bond_style, system.n_tags, system.n_mols, image=img_ext,
+        owner_mask=owner,
+        reduce_sum=lambda a: jax.lax.psum(a, AXIS))
+    return f_ext[:nr], missing
 
 
 def _step_local(system: System, params: SystemParams, dcfg: DomainConfig,
-                state: State) -> State:
+                state: State):
+    """One distributed step; returns (new_state, bonded-missing count)."""
     inv_m = params.inv_mass[state.typ]
     move = _move_mask(system, state.typ, state.mask)
     new_step = state.step + 1
@@ -353,9 +445,10 @@ def _step_local(system: System, params: SystemParams, dcfg: DomainConfig,
             x1, image1, v_tilde = fx.post_integrate(
                 system, params, state, x1, image1, v_tilde)
     if system.model == "dpd":
-        if system.force_path == "pallas":
-            f_new, _ = _halo_forces_pallas(state, system, params, dcfg,
-                                           new_step, x1, v_tilde)
+        if system.force_path in ("pallas", "pallas_banded"):
+            f_new, _ = _halo_forces_pallas(
+                state, system, params, dcfg, new_step, x1, v_tilde,
+                banded=system.force_path == "pallas_banded")
         else:
             f_new, _ = _halo_forces(state, system, params, dcfg, new_step,
                                     x1, v_tilde)
@@ -364,7 +457,13 @@ def _step_local(system: System, params: SystemParams, dcfg: DomainConfig,
         f_new, aux = _halo_forces_model(state, system, params, dcfg,
                                         new_step, x1, v_tilde, state.T,
                                         state.C)
-    f_new = _post_forces(system, params, state, x1, v_tilde, f_new)
+    missing = jnp.zeros((), jnp.int32)
+    if system.bond_style is not None:
+        f_b, missing = _bonded_distributed(system, params, dcfg, state,
+                                           x1, image1)
+        f_new = f_new + f_b
+    f_new = _post_forces(system, params, state, x1, v_tilde, f_new,
+                         skip_bonded=True, image=image1)
     v1 = final_integrate(state.v, state.f, f_new, system.dt, inv_m, move)
     new_state = state.replace(x=x1, v=v1, f=f_new, image=image1,
                               step=new_step)
@@ -380,7 +479,7 @@ def _step_local(system: System, params: SystemParams, dcfg: DomainConfig,
     for fx in system.fixes:
         if hasattr(fx, "end_of_step"):
             new_state = fx.end_of_step(system, params, new_state)
-    return new_state
+    return new_state, missing
 
 
 @partial(jax.jit, static_argnames=("system", "dcfg", "nchunks", "mesh"))
@@ -406,15 +505,18 @@ def run_distributed(system: System, params: SystemParams, dstate: State,
                                            side_x)
 
             def body(s, _):
-                return _step_local(system, params, dcfg, s), None
+                s, miss = _step_local(system, params, dcfg, s)
+                return s, miss
 
-            state, _ = jax.lax.scan(body, state, None,
-                                    length=dcfg.rebuild_every)
+            state, misses = jax.lax.scan(body, state, None,
+                                         length=dcfg.rebuild_every)
             of = jax.lax.psum(of_mig + of_cell, AXIS)
-            return state, {"overflow": of}
+            miss = jax.lax.psum(jnp.max(misses), AXIS)
+            return state, {"overflow": of, "bonded_missing": miss}
 
         state, diag = jax.lax.scan(chunk, state, None, length=nchunks)
-        diag = {"overflow": jnp.max(diag["overflow"])[None]}
+        diag = {"overflow": jnp.max(diag["overflow"])[None],
+                "bonded_missing": jnp.max(diag["bonded_missing"])[None]}
         return jax.tree.map(lambda a: a[None], state), diag
 
     # check_vma=False: pallas interpret mode (CPU tests of the pallas
@@ -432,12 +534,6 @@ def run_distributed(system: System, params: SystemParams, dstate: State,
 def build_domain(system: System, n_dev: int, cap_mig: int | None = None,
                  rebuild_every: int | None = None,
                  lx_global: float | None = None) -> DomainConfig:
-    if system.bond_style is not None:
-        raise NotImplementedError(
-            "distributed bonded forces are not implemented: a chain split "
-            "across bricks would silently lose partners (tag-space bonded "
-            "needs ghost-by-tag exchange — round-2 ledger). Run bonded "
-            "systems single-chip or on the ensemble axis.")
     g = system.cells
     ncx, ny, nz = g.ncell
     if ncx % n_dev:

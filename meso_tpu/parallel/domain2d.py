@@ -239,6 +239,17 @@ def _halo_forces_2d(state: State, system: System, params: SystemParams,
                              cfg.ncell, k)
     if multitype:
         channels["typ"] = state.typ.reshape(channels["tag"].shape)
+    if system.model == "dpd" and system.force_path == "pallas":
+        # fused Pallas kernel over the (x,y)-extended brick — the 2-D
+        # multi-chip hot path (SURVEY §2c row 1)
+        from meso_tpu.kernels.pair_dpd_fused import halo_forces_pallas_fused
+        padded = _exchange_halos_channels(channels, dcfg)
+        f, virial = halo_forces_pallas_fused(
+            padded, state.box, step, params.pair, system.dt, cfg,
+            ext=("x", "y"), rng_mode=system.rng_mode,
+            rng_rounds=system.rng_rounds, s_exp=system.s_exp,
+            n_types=params.pair.a.shape[0], vma=(AX, AY))
+        return f, {"virial": virial}
     padded = _exchange_halos_channels(channels, dcfg)
     acc = sweep(padded, cfg.ncell, k, (True, False, True),
                 state.box.lengths, pair_fn, n_out)
@@ -315,9 +326,11 @@ def run_distributed_2d(system: System, params: SystemParams, dstate: State,
         diag = {"overflow": jnp.max(diag["overflow"])[None, None]}
         return jax.tree.map(lambda a: a[None, None], state), diag
 
+    # check_vma=False: pallas interpret mode (CPU tests of the fused
+    # kernel path) is not vma-aware inside shard_map (same as domain.py)
     return jax.shard_map(
         shard_body, mesh=mesh, in_specs=(P(), P(AX, AY)),
-        out_specs=(P(AX, AY), P(AX, AY)))(params, dstate)
+        out_specs=(P(AX, AY), P(AX, AY)), check_vma=False)(params, dstate)
 
 
 def distribute_state_2d(state: State, dcfg: Domain2D) -> State:

@@ -216,6 +216,17 @@ def _halo_forces_3d(state: State, system: System, params: SystemParams,
                              cfg.ncell, k)
     if multitype:
         channels["typ"] = state.typ.reshape(channels["tag"].shape)
+    if system.model == "dpd" and system.force_path == "pallas":
+        # fused Pallas kernel over the fully extended brick — the 3-D
+        # multi-chip hot path (SURVEY §2c row 1)
+        from meso_tpu.kernels.pair_dpd_fused import halo_forces_pallas_fused
+        padded = _exchange_halos_3d(channels, dcfg)
+        f, virial = halo_forces_pallas_fused(
+            padded, state.box, step, params.pair, system.dt, cfg,
+            ext=("x", "y", "z"), rng_mode=system.rng_mode,
+            rng_rounds=system.rng_rounds, s_exp=system.s_exp,
+            n_types=params.pair.a.shape[0], vma=(AX, AY, AZ))
+        return f, {"virial": virial}
     padded = _exchange_halos_3d(channels, dcfg)
     acc = sweep(padded, cfg.ncell, k, (True, True, True),
                 state.box.lengths, pair_fn, n_out)
@@ -299,7 +310,8 @@ def run_distributed_3d(system: System, params: SystemParams, dstate: State,
 
     return jax.shard_map(
         shard_body, mesh=mesh, in_specs=(P(), P(AX, AY, AZ)),
-        out_specs=(P(AX, AY, AZ), P(AX, AY, AZ)))(params, dstate)
+        out_specs=(P(AX, AY, AZ), P(AX, AY, AZ)),
+        check_vma=False)(params, dstate)
 
 
 def distribute_state_3d(state: State, dcfg: Domain3D) -> State:

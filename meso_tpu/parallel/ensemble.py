@@ -125,7 +125,8 @@ def run_distributed_ensemble(system: System, params, dstate: State,
                                            side_x)
 
             def body(s, _):
-                return _step_local(system, params, dcfg, s), None
+                s, _miss = _step_local(system, params, dcfg, s)
+                return s, None
 
             state, _ = jax.lax.scan(body, state, None,
                                     length=dcfg.rebuild_every)

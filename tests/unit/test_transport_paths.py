@@ -298,3 +298,65 @@ def test_transport_pallas_tea_matches_bucket_interpret():
     qs = np.abs(np.asarray(q_x)).max()
     assert np.abs(np.asarray(f_p)[m] - np.asarray(f_x)[m]).max() / fs < 1e-5
     assert np.abs(np.asarray(q_p)[m] - np.asarray(q_x)[m]).max() / qs < 1e-4
+
+
+def test_edpd_multitype_pallas_matches_bucket():
+    """Multi-type tables in the eDPD Pallas kernel (SMEM select chain;
+    SURVEY row 22) vs the multi-type bucket sweep — interpret mode."""
+    from meso_tpu.kernels.pair_multiphysics import bucket_forces_pallas_edpd
+
+    box, st, cfg = _sys(with_energy=True)
+    st = st.replace(T=1.0 + 0.3 * jnp.sin(st.x[:, 0]),
+                    typ=(st.tag % 2).astype(jnp.int32))
+    a = jnp.asarray([[25.0, 35.0], [35.0, 18.0]], jnp.float32)
+    g = jnp.asarray([[4.5, 6.0], [6.0, 3.0]], jnp.float32)
+    kap = jnp.asarray([[1.5, 0.7], [0.7, 2.2]], jnp.float32)
+    params = EDPDParams.build(a=a, gamma=g, rc=1.0, kappa=kap, cv=10.0,
+                              seed=7, n_types=2)
+    bst = to_bucket_state(st, cfg)
+    step = jnp.int32(12)
+    f_b, q_b, v_b = jax.jit(
+        bucket_forces_edpd, static_argnames=("dt", "cfg"))(
+        bst.x, bst.v, bst.T, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg)
+    f_p, q_p, v_p = bucket_forces_pallas_edpd(
+        bst.x, bst.v, bst.T, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg, interpret=True)
+    m = np.asarray(bst.mask)
+    fs = np.abs(np.asarray(f_b)).max()
+    assert np.abs(np.asarray(f_p)[m] - np.asarray(f_b)[m]).max() / fs < 2e-6
+    qs = max(np.abs(np.asarray(q_b)).max(), 1e-9)
+    assert np.abs(np.asarray(q_p)[m] - np.asarray(q_b)[m]).max() / qs < 2e-5
+    assert abs(float(v_p) - float(v_b)) / abs(float(v_b)) < 1e-5
+
+
+def test_tdpd_multitype_pallas_matches_bucket():
+    """Multi-type momentum tables in the tDPD Pallas kernel (SURVEY row 23)
+    vs the multi-type bucket sweep — interpret mode."""
+    from meso_tpu.kernels.pair_multiphysics import bucket_forces_pallas_tdpd
+
+    box, st, cfg = _sys(n_species=2)
+    st = st.replace(
+        C=jnp.stack([1.0 + 0.5 * jnp.cos(st.x[:, 0]),
+                     0.5 + 0.2 * jnp.sin(st.x[:, 1])], -1),
+        typ=(st.tag % 2).astype(jnp.int32))
+    a = jnp.asarray([[25.0, 40.0], [40.0, 15.0]], jnp.float32)
+    g = jnp.asarray([[4.5, 9.0], [9.0, 2.0]], jnp.float32)
+    params = TDPDParams.build(a=a, gamma=g, rc=1.0, kt=1.0,
+                              kappa_c=[1.0, 0.5], eps_c=[0.1, 0.05],
+                              rcc=1.0, seed=5, n_types=2)
+    bst = to_bucket_state(st, cfg)
+    step = jnp.int32(4)
+    f_b, q_b, v_b = jax.jit(
+        bucket_forces_tdpd, static_argnames=("dt", "cfg"))(
+        bst.x, bst.v, bst.C, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg)
+    f_p, q_p, v_p = bucket_forces_pallas_tdpd(
+        bst.x, bst.v, bst.C, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg, interpret=True)
+    m = np.asarray(bst.mask)
+    fs = np.abs(np.asarray(f_b)).max()
+    assert np.abs(np.asarray(f_p)[m] - np.asarray(f_b)[m]).max() / fs < 2e-6
+    qs = np.abs(np.asarray(q_b)).max()
+    assert np.abs(np.asarray(q_p)[m] - np.asarray(q_b)[m]).max() / qs < 2e-5
+    assert abs(float(v_p) - float(v_b)) / abs(float(v_b)) < 1e-5
