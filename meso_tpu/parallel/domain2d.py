@@ -61,12 +61,6 @@ class Domain2D:
 def build_domain2d(system: System, nx_dev: int, ny_dev: int, lx: float,
                    ly: float, cap_mig: int | None = None,
                    rebuild_every: int | None = None) -> Domain2D:
-    if system.bond_style is not None:
-        raise NotImplementedError(
-            "distributed bonded forces are not implemented: a chain split "
-            "across bricks would silently lose partners (tag-space bonded "
-            "needs ghost-by-tag exchange — round-2 ledger). Run bonded "
-            "systems single-chip or on the ensemble axis.")
     g = system.cells
     ncx, ncy, ncz = g.ncell
     if ncx % nx_dev or ncy % ny_dev:
@@ -264,8 +258,55 @@ def _halo_forces_2d(state: State, system: System, params: SystemParams,
     return f, aux
 
 
+def _bonded_distributed_2d(system: System, params: SystemParams,
+                           dcfg: Domain2D, state: State, x1: Array,
+                           image1: Array):
+    """Bonded forces over the (x,y)-extended brick (SURVEY row 24 under
+    2-D DD): sequential reach-r ppermute extension of (x, image, tag,
+    mask) planes — corners ride the second exchange — then tag-space
+    evaluation where each partner's owner (interior rows) keeps its own
+    side. Returns (f local rows, missing count)."""
+    from meso_tpu.ops.bonded import bonded_forces_ext
+
+    cfg = dcfg.cells
+    nx, ny, nz = cfg.ncell
+    k = cfg.capacity
+    b = params.bonded
+    reach = 2 if (b.hinge_tags is not None or b.tri_tags is not None
+                  or b.angle_tags is not None) else 1
+    reach = min(reach, nx, ny)
+    nxd, nyd = dcfg.nx_dev, dcfg.ny_dev
+    fwd_x = [(i, (i + 1) % nxd) for i in range(nxd)]
+    bwd_x = [(i, (i - 1) % nxd) for i in range(nxd)]
+    fwd_y = [(i, (i + 1) % nyd) for i in range(nyd)]
+    bwd_y = [(i, (i - 1) % nyd) for i in range(nyd)]
+
+    def ext(a):
+        d = a.shape[1:] if a.ndim > 1 else ()
+        p = a.reshape((ny, nz, k, nx) + d)
+        hl = jax.lax.ppermute(p[:, :, :, nx - reach:], AX, fwd_x)
+        hr = jax.lax.ppermute(p[:, :, :, :reach], AX, bwd_x)
+        p = jnp.concatenate([hl, p, hr], axis=3)
+        hb = jax.lax.ppermute(p[ny - reach:], AY, fwd_y)
+        ht = jax.lax.ppermute(p[:reach], AY, bwd_y)
+        p = jnp.concatenate([hb, p, ht], axis=0)
+        return p.reshape((-1,) + d)
+
+    owner = jnp.pad(jnp.ones((ny, nz, k, nx), bool),
+                    ((reach, reach), (0, 0), (0, 0), (reach, reach))
+                    ).reshape(-1)
+    f_ext, missing = bonded_forces_ext(
+        ext(x1), ext(state.tag), ext(state.mask.astype(jnp.int32)) > 0,
+        state.box, b, system.bond_style, system.n_tags, system.n_mols,
+        image=ext(image1), owner_mask=owner,
+        reduce_sum=lambda v: jax.lax.psum(jax.lax.psum(v, AX), AY))
+    f = f_ext.reshape(ny + 2 * reach, nz, k, nx + 2 * reach, 3)[
+        reach:-reach, :, :, reach:-reach]
+    return f.reshape(-1, 3), missing
+
+
 def _step_local_2d(system: System, params: SystemParams, dcfg: Domain2D,
-                   state: State) -> State:
+                   state: State):
     inv_m = params.inv_mass[state.typ]
     move = _move_mask(system, state.typ, state.mask)
     new_step = state.step + 1
@@ -274,7 +315,13 @@ def _step_local_2d(system: System, params: SystemParams, dcfg: Domain2D,
         system.dt, system.lam, inv_m, move)
     f_new, aux = _halo_forces_2d(state, system, params, dcfg, new_step, x1,
                                  v_tilde, state.T, state.C)
-    f_new = _post_forces(system, params, state, x1, v_tilde, f_new)
+    missing = jnp.zeros((), jnp.int32)
+    if system.bond_style is not None:
+        f_b, missing = _bonded_distributed_2d(system, params, dcfg, state,
+                                              x1, image1)
+        f_new = f_new + f_b
+    f_new = _post_forces(system, params, state, x1, v_tilde, f_new,
+                         skip_bonded=True, image=image1)
     v1 = final_integrate(state.v, state.f, f_new, system.dt, inv_m, move)
     new_state = state.replace(x=x1, v=v1, f=f_new, image=image1,
                               step=new_step)
@@ -287,7 +334,7 @@ def _step_local_2d(system: System, params: SystemParams, dcfg: Domain2D,
             C=state.C + system.dt * jnp.where(move[:, None],
                                               aux["dCdt"], 0.0),
             dCdt=aux["dCdt"])
-    return new_state
+    return new_state, missing
 
 
 @partial(jax.jit, static_argnames=("system", "dcfg", "nchunks", "mesh"))
@@ -315,15 +362,19 @@ def run_distributed_2d(system: System, params: SystemParams, dstate: State,
                                          side_x, side_y)
 
             def body(s, _):
-                return _step_local_2d(system, params, dcfg, s), None
+                s, miss = _step_local_2d(system, params, dcfg, s)
+                return s, miss
 
-            state, _ = jax.lax.scan(body, state, None,
-                                    length=dcfg.rebuild_every)
+            state, misses = jax.lax.scan(body, state, None,
+                                         length=dcfg.rebuild_every)
             of = jax.lax.psum(jax.lax.psum(of_x + of_y + of_c, AX), AY)
-            return state, {"overflow": of}
+            miss = jax.lax.psum(jax.lax.psum(jnp.max(misses), AX), AY)
+            return state, {"overflow": of, "bonded_missing": miss}
 
         state, diag = jax.lax.scan(chunk, state, None, length=nchunks)
-        diag = {"overflow": jnp.max(diag["overflow"])[None, None]}
+        diag = {"overflow": jnp.max(diag["overflow"])[None, None],
+                "bonded_missing":
+                    jnp.max(diag["bonded_missing"])[None, None]}
         return jax.tree.map(lambda a: a[None, None], state), diag
 
     # check_vma=False: pallas interpret mode (CPU tests of the fused

@@ -68,12 +68,6 @@ def build_domain3d(system: System, nx_dev: int, ny_dev: int, nz_dev: int,
                    lx: float, ly: float, lz: float,
                    cap_mig: int | None = None,
                    rebuild_every: int | None = None) -> Domain3D:
-    if system.bond_style is not None:
-        raise NotImplementedError(
-            "distributed bonded forces are not implemented: a chain split "
-            "across bricks would silently lose partners (tag-space bonded "
-            "needs ghost-by-tag exchange — round-2 ledger). Run bonded "
-            "systems single-chip or on the ensemble axis.")
     g = system.cells
     ncx, ncy, ncz = g.ncell
     if ncx % nx_dev or ncy % ny_dev or ncz % nz_dev:
@@ -241,8 +235,67 @@ def _halo_forces_3d(state: State, system: System, params: SystemParams,
     return f, aux
 
 
+def _bonded_distributed_3d(system: System, params: SystemParams,
+                           dcfg: Domain3D, state: State, x1: Array,
+                           image1: Array):
+    """Bonded forces over the fully extended brick (SURVEY row 24 under
+    3-D DD): sequential reach-r ppermute extension of (x, image, tag, mask)
+    planes on all three axes (edges/corners ride the later exchanges), then
+    tag-space evaluation where each partner's owner keeps its own side."""
+    from meso_tpu.ops.bonded import bonded_forces_ext
+
+    cfg = dcfg.cells
+    nx, ny, nz = cfg.ncell
+    k = cfg.capacity
+    b = params.bonded
+    reach = 2 if (b.hinge_tags is not None or b.tri_tags is not None
+                  or b.angle_tags is not None) else 1
+    reach = min(reach, nx, ny, nz)
+    nxd, nyd, nzd = dcfg.nx_dev, dcfg.ny_dev, dcfg.nz_dev
+    fwd = {AX: [(i, (i + 1) % nxd) for i in range(nxd)],
+           AY: [(i, (i + 1) % nyd) for i in range(nyd)],
+           AZ: [(i, (i + 1) % nzd) for i in range(nzd)]}
+    bwd = {AX: [(i, (i - 1) % nxd) for i in range(nxd)],
+           AY: [(i, (i - 1) % nyd) for i in range(nyd)],
+           AZ: [(i, (i - 1) % nzd) for i in range(nzd)]}
+
+    def ext1(p, ax, axis):
+        n_ax = p.shape[axis]
+        lo = jax.lax.ppermute(
+            jax.lax.slice_in_dim(p, n_ax - reach, n_ax, axis=axis),
+            ax, fwd[ax])
+        hi = jax.lax.ppermute(
+            jax.lax.slice_in_dim(p, 0, reach, axis=axis), ax, bwd[ax])
+        return jnp.concatenate([lo, p, hi], axis=axis)
+
+    def ext(a):
+        d = a.shape[1:] if a.ndim > 1 else ()
+        p = a.reshape((ny, nz, k, nx) + d)
+        p = ext1(p, AX, 3)
+        p = ext1(p, AY, 0)
+        p = ext1(p, AZ, 1)
+        return p.reshape((-1,) + d)
+
+    r = reach
+    owner = jnp.pad(jnp.ones((ny, nz, k, nx), bool),
+                    ((r, r), (r, r), (0, 0), (r, r))).reshape(-1)
+
+    def psum3(v):
+        for ax in (AX, AY, AZ):
+            v = jax.lax.psum(v, ax)
+        return v
+
+    f_ext, missing = bonded_forces_ext(
+        ext(x1), ext(state.tag), ext(state.mask.astype(jnp.int32)) > 0,
+        state.box, b, system.bond_style, system.n_tags, system.n_mols,
+        image=ext(image1), owner_mask=owner, reduce_sum=psum3)
+    f = f_ext.reshape(ny + 2 * r, nz + 2 * r, k, nx + 2 * r, 3)[
+        r:-r, r:-r, :, r:-r]
+    return f.reshape(-1, 3), missing
+
+
 def _step_local_3d(system: System, params: SystemParams, dcfg: Domain3D,
-                   state: State) -> State:
+                   state: State):
     inv_m = params.inv_mass[state.typ]
     move = _move_mask(system, state.typ, state.mask)
     new_step = state.step + 1
@@ -251,7 +304,13 @@ def _step_local_3d(system: System, params: SystemParams, dcfg: Domain3D,
         system.dt, system.lam, inv_m, move)
     f_new, aux = _halo_forces_3d(state, system, params, dcfg, new_step, x1,
                                  v_tilde, state.T, state.C)
-    f_new = _post_forces(system, params, state, x1, v_tilde, f_new)
+    missing = jnp.zeros((), jnp.int32)
+    if system.bond_style is not None:
+        f_b, missing = _bonded_distributed_3d(system, params, dcfg, state,
+                                              x1, image1)
+        f_new = f_new + f_b
+    f_new = _post_forces(system, params, state, x1, v_tilde, f_new,
+                         skip_bonded=True, image=image1)
     v1 = final_integrate(state.v, state.f, f_new, system.dt, inv_m, move)
     new_state = state.replace(x=x1, v=v1, f=f_new, image=image1,
                               step=new_step)
@@ -264,7 +323,7 @@ def _step_local_3d(system: System, params: SystemParams, dcfg: Domain3D,
             C=state.C + system.dt * jnp.where(move[:, None],
                                               aux["dCdt"], 0.0),
             dCdt=aux["dCdt"])
-    return new_state
+    return new_state, missing
 
 
 @partial(jax.jit, static_argnames=("system", "dcfg", "nchunks", "mesh"))
@@ -295,17 +354,22 @@ def run_distributed_3d(system: System, params: SystemParams, dstate: State,
                                            side_x, side_y, side_z)
 
             def body(s, _):
-                return _step_local_3d(system, params, dcfg, s), None
+                s, miss = _step_local_3d(system, params, dcfg, s)
+                return s, miss
 
-            state, _ = jax.lax.scan(body, state, None,
-                                    length=dcfg.rebuild_every)
+            state, misses = jax.lax.scan(body, state, None,
+                                         length=dcfg.rebuild_every)
             of = of_x + of_y + of_z + of_c
+            miss = jnp.max(misses)
             for ax in (AX, AY, AZ):
                 of = jax.lax.psum(of, ax)
-            return state, {"overflow": of}
+                miss = jax.lax.psum(miss, ax)
+            return state, {"overflow": of, "bonded_missing": miss}
 
         state, diag = jax.lax.scan(chunk, state, None, length=nchunks)
-        diag = {"overflow": jnp.max(diag["overflow"])[None, None, None]}
+        diag = {"overflow": jnp.max(diag["overflow"])[None, None, None],
+                "bonded_missing":
+                    jnp.max(diag["bonded_missing"])[None, None, None]}
         return jax.tree.map(lambda a: a[None, None, None], state), diag
 
     return jax.shard_map(

@@ -155,3 +155,93 @@ def test_missing_partner_invariant():
     dstate = distribute_state(state, dcfg)
     dstate, diag = run_distributed(system, params, dstate, 1, mesh, dcfg)
     assert int(jnp.max(diag["bonded_missing"])) > 0
+
+
+def _polymer_box(lx, ly, lz, rebuild_every=3):
+    side, rc, skin = 1.2, 1.0, 0.2
+    density = 3.0
+    n = int(round(density * lx * ly * lz))
+    rs = np.random.RandomState(13)
+    n_chains, chain_len = 6, 10
+    n_poly = n_chains * chain_len
+    chains = []
+    for c in range(n_chains):
+        pos = [np.array([rs.uniform(0, lx), rs.uniform(0, ly),
+                         rs.uniform(0, lz)])]
+        for _ in range(chain_len - 1):
+            d = rs.normal(size=3)
+            d *= 0.8 / np.linalg.norm(d)
+            pos.append(pos[-1] + d)
+        chains.append(np.asarray(pos) % [lx, ly, lz])
+    x = np.concatenate([np.concatenate(chains),
+                        rs.uniform(0, 1, (n - n_poly, 3)) * [lx, ly, lz]])
+    box = Box.orthorhombic(lx, ly, lz)
+    state = zeros_state(n, box)
+    state = state.replace(
+        x=jnp.asarray(x, jnp.float32),
+        v=maxwell_velocities(jax.random.PRNGKey(3), n, 1.0, 1.0),
+        tag=jnp.arange(1, n + 1, dtype=jnp.int32), mask=jnp.ones(n, bool))
+    bonds = []
+    for c in range(n_chains):
+        base = c * chain_len + 1
+        bonds += [(base + b, base + b + 1) for b in range(chain_len - 1)]
+    bonded = BondedParams(
+        bond_tags=jnp.asarray(np.asarray(bonds, np.int32)),
+        bond_type=jnp.zeros(len(bonds), jnp.int32),
+        bond_coeffs=jnp.asarray([[30.0, 1.5, 0.0, 0.0]], jnp.float32))
+    params = SystemParams.build(
+        DPDParams.build(a=25.0, gamma=4.5, rc=rc, kt=1.0, seed=99)).replace(
+        bonded=bonded)
+    system = System.for_fluid([lx, ly, lz], rc=rc, density=density,
+                              dt=0.01, skin=skin, rng_mode="fast",
+                              rebuild_every=rebuild_every)
+    system = system.replace(force_path="bucket", bond_style="fene", n_tags=n)
+    state = setup(system, params, state)
+    return system, params, state
+
+
+@pytest.mark.slow
+def test_polymer_distributed_2d_matches_single():
+    """FENE chains under 2-D brick decomposition (corner ghosts via the
+    sequential reach-1 exchange) vs single chip."""
+    from meso_tpu.parallel.domain2d import (build_domain2d, collect_state_2d,
+                                            distribute_state_2d, make_mesh_2d,
+                                            run_distributed_2d)
+
+    side = 1.2
+    lx = ly = 2 * 3 * side
+    lz = 4 * side
+    system, params, state = _polymer_box(lx, ly, lz)
+    dcfg = build_domain2d(system, 2, 2, lx, ly, rebuild_every=3)
+    mesh = make_mesh_2d(2, 2)
+    dstate = distribute_state_2d(state, dcfg)
+    dstate, diag = run_distributed_2d(system, params, dstate, 2, mesh, dcfg)
+    assert int(np.max(np.asarray(diag["overflow"]))) == 0
+    assert int(np.max(np.asarray(diag["bonded_missing"]))) == 0
+    a = _bytag(collect_state_2d(dstate))
+    single, _ = run_bucket_chunked(system, params, state, 2, 3)
+    b = _bytag(single)
+    assert np.abs(a["x"] - b["x"]).max() < 1e-4
+    assert np.abs(a["v"] - b["v"]).max() < 1e-3
+
+
+@pytest.mark.slow
+def test_polymer_distributed_3d_matches_single():
+    from meso_tpu.parallel.domain3d import (build_domain3d, collect_state_3d,
+                                            distribute_state_3d, make_mesh_3d,
+                                            run_distributed_3d)
+
+    side = 1.2
+    lx = ly = lz = 2 * 3 * side
+    system, params, state = _polymer_box(lx, ly, lz)
+    dcfg = build_domain3d(system, 2, 2, 2, lx, ly, lz, rebuild_every=3)
+    mesh = make_mesh_3d(2, 2, 2)
+    dstate = distribute_state_3d(state, dcfg)
+    dstate, diag = run_distributed_3d(system, params, dstate, 2, mesh, dcfg)
+    assert int(np.max(np.asarray(diag["overflow"]))) == 0
+    assert int(np.max(np.asarray(diag["bonded_missing"]))) == 0
+    a = _bytag(collect_state_3d(dstate))
+    single, _ = run_bucket_chunked(system, params, state, 2, 3)
+    b = _bytag(single)
+    assert np.abs(a["x"] - b["x"]).max() < 1e-4
+    assert np.abs(a["v"] - b["v"]).max() < 1e-3
