@@ -70,6 +70,12 @@ def run_config(l, path, skin, every, nsteps, equil=399):
         "kT_err": round(abs(kt - 1.0), 4),
         "force_path": path,
         "device": str(jax.devices()[0]),
+        # launch-shape knobs in effect (SURVEY 2b row 29)
+        "skin": skin,
+        "rebuild_every": every,
+        "capacity_K": system.cells.capacity,
+        "spill": bool(getattr(system.cells, "spill", False)),
+        "ncell": list(system.cells.ncell),
     }
     for key in ("bucket_overflow", "worst_skin_ratio", "cell_overflow",
                 "nlist_overflow", "n_rebuilds"):

@@ -93,8 +93,11 @@ def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
     bands_s[1] = b1[:, 0, 0]
     bands_s[2] = b2[:, 0, 0]
     if bf16_v:
+        # cast at staging: Mosaic cannot dynamically sublane-slice bf16
+        # refs (index must be a multiple of the bf16 sublane tile); HBM ->
+        # VMEM band traffic stays bf16, the scratch is f32
         for i in range(3):
-            bands_sv[i] = bv[i][:, 0, 0]
+            bands_sv[i] = bv[i][:, 0, 0].astype(jnp.float32)
     h_idx = 3 if bf16_v else _H
     val_idx = 4 if bf16_v else _VALID
 
@@ -114,7 +117,7 @@ def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
 
     def selfv(i):  # velocity component i, (k, L) f32
         if bf16_v:
-            return bands_sv[1, i].astype(jnp.float32)
+            return bands_sv[1, i]
         return bands_s[1, _VX + i]
 
     def body(it, acc):
@@ -127,8 +130,7 @@ def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
         rows = tuple(bands_s[dy, c, pl.ds(j, 1), :] for c in range(n_chan))
         if bf16_v:
             rows = rows + tuple(
-                bands_sv[dy, i, pl.ds(j, 1), :].astype(jnp.float32)
-                for i in range(3))
+                bands_sv[dy, i, pl.ds(j, 1), :] for i in range(3))
         rows = jax.lax.switch(o, branches, rows)
 
         def rowv(i):  # velocity component i, (1, L) f32
@@ -360,7 +362,7 @@ def bucket_forces_pallas_fused(x: Array, v: Array, typ: Array, tag: Array,
     if bf16_v:
         in_specs += [vband_spec(0), vband_spec(1), vband_spec(2)]
         inputs += [vview, vview, vview]
-        scratches.append(pltpu.VMEM((3, 3, k, l_lane), jnp.bfloat16))
+        scratches.append(pltpu.VMEM((3, 3, k, l_lane), jnp.float32))
 
     out = pl.pallas_call(
         partial(_fused_kernel, k=k, w_lane=w_lane, l_lane=l_lane,
