@@ -177,6 +177,19 @@ def compute_forces(system: System, params: SystemParams, state: State,
             rng_mode=system.rng_mode, rng_rounds=system.rng_rounds)
         return f, {"virial": virial}
     if system.force_path == "pallas":
+        if not system.cells.spill:
+            # KNOWN ISSUE (r2, 2026-08-16): the compiled strict-bucket
+            # fused kernel miscomputes on some small shapes (observed at
+            # ncell=6^3/w_lane=8 on the axon v5e; interpret mode and the
+            # spill variant are exact). Production always uses spill
+            # (auto-on for ncx >= 5); strict buckets route to the exact
+            # XLA sweep until the Mosaic-level trigger is isolated.
+            from meso_tpu.ops.bucket_dpd import bucket_forces_xla as bf
+            f, virial = bf(
+                x, v, state.typ, state.tag, state.mask, state.box, step,
+                params.pair, system.dt, system.cells,
+                rng_mode=system.rng_mode, rng_rounds=system.rng_rounds)
+            return f, {"virial": virial}
         from meso_tpu.kernels.pair_dpd_fused import bucket_forces_pallas_fused
         f, virial = bucket_forces_pallas_fused(
             x, v, state.typ, state.tag, state.mask, state.box, step,

@@ -137,20 +137,15 @@ def test_regions_set_delete_count():
 
 
 def test_distributed_bonded_build_contract():
-    """1-D DD supports bonded systems (tag-space ghosts,
-    tests/dist/test_bonded_dist.py); 2-D/3-D builders still refuse loudly
-    instead of silently losing chain partners across bricks."""
-    import pytest
-
+    """All three decomposition builders accept bonded systems (tag-space
+    ghost rows; parity tests in tests/dist/test_bonded_dist.py)."""
     from meso_tpu.models.polymer import polymer_melt
     from meso_tpu.parallel import build_domain
     from meso_tpu.parallel.domain2d import build_domain2d
     from meso_tpu.parallel.domain3d import build_domain3d
 
     system, params, state = polymer_melt(l=10.4, force_path="bucket")
-    dcfg = build_domain(system, 2, lx_global=10.4)   # accepted
-    assert dcfg.n_dev == 2
-    with pytest.raises(NotImplementedError, match="bonded"):
-        build_domain2d(system, 2, 2, 10.4, 10.4)
-    with pytest.raises(NotImplementedError, match="bonded"):
-        build_domain3d(system, 2, 2, 2, 10.4, 10.4, 10.4)
+    assert build_domain(system, 2, lx_global=10.4).n_dev == 2
+    assert build_domain2d(system, 2, 2, 10.4, 10.4).nx_dev == 2
+    assert build_domain3d(system, 2, 2, 2, 10.4, 10.4,
+                          10.4).nz_dev == 2
