@@ -24,6 +24,10 @@ def main(argv=None):
     ap.add_argument("--var", action="append", default=[], metavar="K=V",
                     help="override a [variables] entry (repeatable); "
                          "numeric values are auto-coerced")
+    ap.add_argument("--dd", type=int, default=0, metavar="N",
+                    help="run under 1-D spatial domain decomposition over "
+                         "the first N devices (the mpirun -np analog; "
+                         "supports bonded systems incl. config 5)")
     args = ap.parse_args(argv)
 
     from meso_tpu.core.system import run_adaptive, run_bucket_chunked
@@ -89,10 +93,46 @@ def main(argv=None):
     bucketed = system.force_path in ("bucket", "pallas")
     every = system.cells.rebuild_every if system.cells else 1
 
-    def runner(sy, pa, st, n):
-        if bucketed:
-            return run_bucket_chunked(sy, pa, st, max(n // every, 1), every)
-        return run_adaptive(sy, pa, st, n)
+    if args.dd > 1:
+        # 1-D spatial decomposition from the deck surface (SURVEY row 5):
+        # the spill layout is single-chip only; the distributed sweep /
+        # fused kernel use strict local bricks
+        import dataclasses as _dc
+
+        import jax
+
+        from meso_tpu.parallel.domain import (build_domain, collect_state,
+                                              distribute_state, make_mesh_1d,
+                                              run_distributed)
+        if len(jax.devices()) < args.dd:
+            print(f"--dd {args.dd}: only {len(jax.devices())} devices",
+                  file=sys.stderr)
+            return 1
+        import jax.numpy as _jnp
+
+        if system.cells.spill:
+            # distribute_state is layout-agnostic (masked rows); the
+            # distributed engine re-buckets per brick with strict slots
+            system = system.replace(
+                cells=_dc.replace(system.cells, spill=False))
+        lx = float(state.box.lengths[0])
+        dcfg = build_domain(system, args.dd, lx_global=lx)
+        mesh = make_mesh_1d(args.dd)
+        dstate = distribute_state(state, dcfg)
+
+        def runner(sy, pa, st, n):
+            nonlocal dstate
+            dstate, diag = run_distributed(sy, pa, dstate,
+                                           max(n // every, 1), mesh, dcfg)
+            return collect_state(dstate), {
+                "bucket_overflow": _jnp.max(diag["overflow"]),
+                "bonded_missing": _jnp.max(diag["bonded_missing"])}
+    else:
+        def runner(sy, pa, st, n):
+            if bucketed:
+                return run_bucket_chunked(sy, pa, st, max(n // every, 1),
+                                          every)
+            return run_adaptive(sy, pa, st, n)
     done = 0
     profiled = False
     while done < steps:
