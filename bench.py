@@ -33,8 +33,9 @@ def run_config(l, path, skin, every, nsteps, equil=399):
     from meso_tpu.models.classic import classic_fluid
     from meso_tpu.obs import kinetic_temperature
 
+    rng_mode = os.environ.get("MESO_BENCH_RNG", "fast")
     system, params, state = classic_fluid(
-        l=l, rebuild_every=every, skin=skin, rng_mode="fast",
+        l=l, rebuild_every=every, skin=skin, rng_mode=rng_mode,
         force_path=path)
     n = int(state.n_valid())
     fused = path in ("pallas", "bucket")
@@ -69,6 +70,7 @@ def run_config(l, path, skin, every, nsteps, equil=399):
         "kT": round(kt, 4),
         "kT_err": round(abs(kt - 1.0), 4),
         "force_path": path,
+        "rng_mode": rng_mode,
         "device": str(jax.devices()[0]),
         # launch-shape knobs in effect (SURVEY 2b row 29)
         "skin": skin,

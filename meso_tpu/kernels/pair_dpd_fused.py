@@ -66,13 +66,14 @@ def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
     bf16_v: velocity channels arrive as a separate bfloat16 stack (row 31
     mixed precision — halves their HBM/VMEM traffic; positions and
     accumulation stay fp32)."""
-    scal_ref, iscal_ref, tab_ref = refs[0], refs[1], refs[2]
-    b0, b1, b2 = refs[3], refs[4], refs[5]
+    scal_ref, iscal_ref, tab_ref, jmax_ref = refs[0], refs[1], refs[2], \
+        refs[3]
+    b0, b1, b2 = refs[4], refs[5], refs[6]
     if bf16_v:
-        bv = refs[6:9]
-        out_ref, bands_s, bands_sv = refs[9], refs[10], refs[11]
+        bv = refs[7:10]
+        out_ref, bands_s, bands_sv = refs[10], refs[11], refs[12]
     else:
-        out_ref, bands_s = refs[6], refs[7]
+        out_ref, bands_s = refs[7], refs[8]
     a = scal_ref[0, 0]
     gamma = scal_ref[0, 1]
     sigma_dt = scal_ref[0, 2]     # sigma / sqrt(dt), pre-folded
@@ -202,7 +203,11 @@ def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
                 vir + 0.5 * fmag * rr)
 
     zero = jnp.zeros((k, l_lane), jnp.float32)
-    fx, fy, fz, vir = jax.lax.fori_loop(0, 3 * n_off * k, body,
+    # dynamic trip count: source slots above the band's max occupancy are
+    # all invalid — skip them entirely (the launch-shape analog of the
+    # reference's occupancy-aware tuning, SURVEY row 29)
+    jm = jmax_ref[0, pl.program_id(0)]
+    fx, fy, fz, vir = jax.lax.fori_loop(0, 3 * n_off * jm, body,
                                         (zero, zero, zero, zero))
     out_ref[0, 0, 0] = fx
     out_ref[1, 0, 0] = fy
@@ -330,6 +335,15 @@ def bucket_forces_pallas_fused(x: Array, v: Array, typ: Array, tag: Array,
         jnp.float32(0)]).reshape(1, 12)
     iscal = jnp.stack([jnp.asarray(step, jnp.int32),
                        params.seed.astype(jnp.int32)]).reshape(1, 2)
+    # per-cy-band max occupied slot (+1): the kernel's dynamic j bound
+    vmask = chans[4 if bf16_v else 7]            # the valid plane
+    occ = jnp.max(jnp.where(
+        vmask > 0.5,
+        jnp.arange(1, k + 1, dtype=jnp.int32)[None, None, :, None], 0),
+        axis=(1, 2, 3))                          # (ny,)
+    jmax = jnp.maximum(jnp.maximum(occ, jnp.roll(occ, 1)),
+                       jnp.roll(occ, -1))
+    jmax = jnp.maximum(jmax, 1).reshape(1, ny)
     if n_types > 1:
         tab = jnp.stack([params.a.reshape(-1), params.gamma.reshape(-1),
                          params.sigma.reshape(-1) * dt_inv_sqrt,
@@ -355,9 +369,11 @@ def bucket_forces_pallas_fused(x: Array, v: Array, typ: Array, tag: Array,
         pl.BlockSpec((1, 2), lambda cy, cb: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec(tab.shape, lambda cy, cb: (0, 0),
                      memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, ny), lambda cy, cb: (0, 0),
+                     memory_space=pltpu.SMEM),
         band_spec(0), band_spec(1), band_spec(2),
     ]
-    inputs = [scal, iscal, tab, view, view, view]
+    inputs = [scal, iscal, tab, jmax, view, view, view]
     scratches = [pltpu.VMEM((3, n_chan, k, l_lane), jnp.float32)]
     if bf16_v:
         in_specs += [vband_spec(0), vband_spec(1), vband_spec(2)]
@@ -476,6 +492,20 @@ def halo_forces_pallas_fused(channels: dict, box: Box, step: Array,
     else:
         tab = jnp.zeros((4, 1), jnp.float32)
 
+    # conservative dynamic j bound: the band's max occupied slot (+1)
+    # over the extended local channels
+    occ = jnp.max(jnp.where(
+        channels["valid"] > 0.5,
+        jnp.arange(1, k + 1, dtype=jnp.int32)[None, None, :, None], 0),
+        axis=(1, 2, 3))
+    ny_e = channels["valid"].shape[0]
+    if ny_e == ny:  # y periodic in-brick
+        jmax = jnp.maximum(jnp.maximum(occ, jnp.roll(occ, 1)),
+                           jnp.roll(occ, -1))
+    else:           # y-extended: bands are consecutive rows
+        jmax = jnp.maximum(jnp.maximum(occ[:-2], occ[1:-1]), occ[2:])
+    jmax = jnp.maximum(jmax, 1).reshape(1, ny)
+
     def band_spec(dy):
         return pl.BlockSpec(
             (n_chan, 1, 1, k, l_lane),
@@ -487,6 +517,8 @@ def halo_forces_pallas_fused(channels: dict, box: Box, step: Array,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 2), lambda cy, cb: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec(tab.shape, lambda cy, cb: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, ny), lambda cy, cb: (0, 0),
                      memory_space=pltpu.SMEM),
         band_spec(0), band_spec(1), band_spec(2),
     ]
@@ -508,7 +540,7 @@ def halo_forces_pallas_fused(channels: dict, box: Box, step: Array,
                                        vma=frozenset(vma)),
         scratch_shapes=[pltpu.VMEM((3, n_chan, k, l_lane), jnp.float32)],
         interpret=interpret,
-    )(scal, iscal, tab, view, view, view)
+    )(scal, iscal, tab, jmax, view, view, view)
 
     out = out.reshape(4, ny, 1, k, body_z, w_lane)[..., 1:-1]
     out = out[..., 1:-1, :]
