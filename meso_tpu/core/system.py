@@ -132,6 +132,13 @@ def compute_forces(system: System, params: SystemParams, state: State,
                 params.pair, system.dt, system.cells,
                 rng_rounds=system.rng_rounds, rng_mode=system.rng_mode)
         elif system.force_path == "pallas":
+            from meso_tpu.kernels.pair_dpd_fused import \
+                bucket_forces_pallas_edpd_fused as efn
+            f, dtdt, virial = efn(
+                x, v, t, state.typ, state.tag, state.mask, state.box, step,
+                params.pair, system.dt, system.cells,
+                rng_rounds=system.rng_rounds, rng_mode=system.rng_mode)
+        elif system.force_path == "pallas_banded":
             from meso_tpu.kernels.pair_multiphysics import \
                 bucket_forces_pallas_edpd as efn
             f, dtdt, virial = efn(
@@ -155,6 +162,13 @@ def compute_forces(system: System, params: SystemParams, state: State,
                 params.pair, system.dt, system.cells,
                 rng_rounds=system.rng_rounds, rng_mode=system.rng_mode)
         elif system.force_path == "pallas":
+            from meso_tpu.kernels.pair_dpd_fused import \
+                bucket_forces_pallas_tdpd_fused as tfn
+            f, dcdt, virial = tfn(
+                x, v, c, state.typ, state.tag, state.mask, state.box, step,
+                params.pair, system.dt, system.cells,
+                rng_rounds=system.rng_rounds, rng_mode=system.rng_mode)
+        elif system.force_path == "pallas_banded":
             from meso_tpu.kernels.pair_multiphysics import \
                 bucket_forces_pallas_tdpd as tfn
             f, dcdt, virial = tfn(

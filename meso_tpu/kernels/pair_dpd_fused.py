@@ -60,7 +60,8 @@ def _roll_lane(p: Array, off: int) -> Array:
 def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
                   rng_rounds: int, n_chan: int, n_types: int, typ_chan: int,
                   tag_chan: int, n_excl: int, ex_chan: int, s_exp: float,
-                  xr: int = 1, bf16_v: bool = False):
+                  xr: int = 1, bf16_v: bool = False, model: str = "dpd",
+                  ns: int = 0, mc_chan: int = -1, n_out: int = 4):
     """One grid step = one (cy row, z-chunk): out (C, 1, 1, K, L).
 
     bf16_v: velocity channels arrive as a separate bfloat16 stack (row 31
@@ -85,6 +86,13 @@ def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
     inv_ly = scal_ref[0, 8]
     inv_lz = scal_ref[0, 9]
     excl_w = scal_ref[0, 10]
+    dt_inv_sqrt = scal_ref[0, 11]
+    if model == "edpd":
+        kappa0 = scal_ref[0, 12]
+        inv_mass = scal_ref[0, 13]
+    elif model == "tdpd":
+        rcc = scal_ref[0, 12]
+        s1 = scal_ref[0, 13]
     if rng_mode == "tea":
         step_u = iscal_ref[0, 0].astype(jnp.uint32)
         seed_u = iscal_ref[0, 1].astype(jnp.uint32)
@@ -122,7 +130,7 @@ def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
         return bands_s[1, _VX + i]
 
     def body(it, acc):
-        fx, fy, fz, vir = acc
+        fx, fy, fz, vir = acc[:4]
         j = it // (3 * n_off)
         r = it - j * (3 * n_off)
         dy = r // n_off
@@ -138,6 +146,8 @@ def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
             return rows[n_chan + i] if bf16_v else rows[_VX + i]
 
         if n_types > 1:
+            # tab rows: dpd/tdpd (a, gamma, sigma*dtinv, rc);
+            # edpd (a, gamma, kappa, rc) — x3 is kappa there
             code = selfc(typ_chan) * jnp.float32(n_types) + rows[typ_chan]
             a_ij = tab_ref[0, 0]
             g_ij = tab_ref[1, 0]
@@ -150,7 +160,8 @@ def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
                 s_ij = jnp.where(sel, tab_ref[2, p], s_ij)
                 rc_ij = jnp.where(sel, tab_ref[3, p], rc_ij)
         else:
-            a_ij, g_ij, s_ij, rc_ij = a, gamma, sigma_dt, rc
+            a_ij, g_ij, rc_ij = a, gamma, rc
+            s_ij = kappa0 if model == "edpd" else sigma_dt
 
         # minimum image on ALL axes: wrap-duplicate columns / rolled wrap
         # rows carry raw coordinates, and a particle can wrap the global box
@@ -178,41 +189,101 @@ def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
         dvy = selfv(1) - rowv(1)
         dvz = selfv(2) - rowv(2)
         ev = (drx * dvx + dry * dvy + drz * dvz) * rinv
+        if model == "dpd":
+            if rng_mode == "tea":
+                tgs = pltpu.bitcast(selfc(tag_chan), jnp.int32)
+                tgj = pltpu.bitcast(rows[tag_chan], jnp.int32)
+                lo = jnp.minimum(tgs, tgj).astype(jnp.uint32)
+                hi = jnp.maximum(tgs, tgj).astype(jnp.uint32)
+                v0, _ = rngmod.tea(lo, hi, step_u, seed_u,
+                                   rounds=rng_rounds)
+                theta = rngmod._u32_to_symmetric_uniform(v0)
+            else:
+                hs = pltpu.bitcast(selfc(h_idx), jnp.uint32)
+                hj = pltpu.bitcast(rows[h_idx], jnp.uint32)
+                theta = rngmod.pair_uniform_fast(hs, hj)
+            fmag = a_ij * w - g_ij * (wr * wr) * ev + s_ij * wr * theta
+            fmag = jnp.where(ok, fmag, 0.0)
+            if n_excl:
+                tgj_x = pltpu.bitcast(rows[tag_chan], jnp.int32)
+                hit = pltpu.bitcast(selfc(ex_chan), jnp.int32) == tgj_x
+                for e in range(1, n_excl):
+                    hit = hit | (pltpu.bitcast(selfc(ex_chan + e),
+                                               jnp.int32) == tgj_x)
+                fmag = fmag * jnp.where(hit, excl_w, 1.0)
+            fr = fmag * rinv
+            return (fx + fr * drx, fy + fr * dry, fz + fr * drz,
+                    vir + 0.5 * fmag * rr)
+
+        # eDPD/tDPD (SURVEY A.2/A.3): symmetric pair hash -> independent
+        # noise streams; antisymmetric streams use the tag-order sign —
+        # the exact math of the sweep/banded paths (parity-tested)
+        tgs = pltpu.bitcast(selfc(tag_chan), jnp.int32)
+        tgj = pltpu.bitcast(rows[tag_chan], jnp.int32)
         if rng_mode == "tea":
-            tgs = pltpu.bitcast(selfc(tag_chan), jnp.int32)
-            tgj = pltpu.bitcast(rows[tag_chan], jnp.int32)
             lo = jnp.minimum(tgs, tgj).astype(jnp.uint32)
             hi = jnp.maximum(tgs, tgj).astype(jnp.uint32)
-            v0, _ = rngmod.tea(lo, hi, step_u, seed_u, rounds=rng_rounds)
-            theta = rngmod._u32_to_symmetric_uniform(v0)
+            hp, _ = rngmod.tea(lo, hi, step_u, seed_u, rounds=rng_rounds)
         else:
             hs = pltpu.bitcast(selfc(h_idx), jnp.uint32)
             hj = pltpu.bitcast(rows[h_idx], jnp.uint32)
-            theta = rngmod.pair_uniform_fast(hs, hj)
-        fmag = a_ij * w - g_ij * (wr * wr) * ev + s_ij * wr * theta
-        fmag = jnp.where(ok, fmag, 0.0)
-        if n_excl:
-            tgj_x = pltpu.bitcast(rows[tag_chan], jnp.int32)
-            hit = pltpu.bitcast(selfc(ex_chan), jnp.int32) == tgj_x
-            for e in range(1, n_excl):
-                hit = hit | (pltpu.bitcast(selfc(ex_chan + e),
-                                           jnp.int32) == tgj_x)
-            fmag = fmag * jnp.where(hit, excl_w, 1.0)
+            hp = rngmod.combine_symmetric(hs, hj)
+        theta = rngmod.uniform_stream(hp, 0)
+        sign = jnp.where(tgs < tgj, 1.0, -1.0)
+        w2 = w * w
+        extras = acc[4:]
+        if model == "edpd":
+            ts = selfc(mc_chan)
+            tj = rows[mc_chan]
+            sigma2 = 4.0 * g_ij * ts * tj / jnp.maximum(ts + tj, 1e-12)
+            sigma = jnp.sqrt(jnp.maximum(sigma2, 0.0))
+            fmag = (a_ij * w - g_ij * w2 * ev
+                    + sigma * w * theta * dt_inv_sqrt)
+            fmag = jnp.where(ok, fmag, 0.0)
+            k_ij = s_ij * 0.25 * (ts + tj) ** 2   # s_ij = kappa here
+            q_c = k_ij * w2 * (1.0 / jnp.maximum(ts, 1e-12)
+                               - 1.0 / jnp.maximum(tj, 1e-12))
+            q_v = 0.5 * (w2 * (g_ij * ev * ev - sigma2 * inv_mass)
+                         - sigma * w * ev * theta * dt_inv_sqrt)
+            zeta = sign * rngmod.uniform_stream(hp, 1)
+            beta = jnp.sqrt(jnp.maximum(2.0 * k_ij, 0.0))
+            q_r = beta * w * zeta * dt_inv_sqrt
+            extras = (extras[0] + jnp.where(ok, q_c + q_v + q_r, 0.0),)
+        else:  # tdpd
+            fmag = (a_ij * w - g_ij * w2 * ev
+                    + s_ij * w * theta)           # s_ij = sigma*dtinv
+            fmag = jnp.where(ok, fmag, 0.0)
+            inside_c = ok & (r2 < rcc * rcc)
+            wdc_base = jnp.maximum(1.0 - rr / rcc, 0.0)
+            if True:
+                wdc = jnp.where(s1 == 1.0, wdc_base,
+                                jnp.power(wdc_base, s1))
+            wrc = jnp.sqrt(wdc)
+            new_extras = []
+            for sp in range(ns):
+                kap_s = scal_ref[0, 14 + 2 * sp]
+                eps_s = scal_ref[0, 15 + 2 * sp]
+                ci = selfc(mc_chan + sp)
+                cj = rows[mc_chan + sp]
+                xi = sign * rngmod.uniform_stream(hp, 2 + sp)
+                qd = -kap_s * wdc * (ci - cj)
+                qr = eps_s * wrc * xi * dt_inv_sqrt
+                new_extras.append(
+                    extras[sp] + jnp.where(inside_c, qd + qr, 0.0))
+            extras = tuple(new_extras)
         fr = fmag * rinv
         return (fx + fr * drx, fy + fr * dry, fz + fr * drz,
-                vir + 0.5 * fmag * rr)
+                vir + 0.5 * fmag * rr) + extras
 
     zero = jnp.zeros((k, l_lane), jnp.float32)
     # dynamic trip count: source slots above the band's max occupancy are
     # all invalid — skip them entirely (the launch-shape analog of the
     # reference's occupancy-aware tuning, SURVEY row 29)
     jm = jmax_ref[0, pl.program_id(0)]
-    fx, fy, fz, vir = jax.lax.fori_loop(0, 3 * n_off * jm, body,
-                                        (zero, zero, zero, zero))
-    out_ref[0, 0, 0] = fx
-    out_ref[1, 0, 0] = fy
-    out_ref[2, 0, 0] = fz
-    out_ref[3, 0, 0] = vir
+    acc = jax.lax.fori_loop(0, 3 * n_off * jm, body,
+                            tuple([zero] * n_out))
+    for o in range(n_out):
+        out_ref[o, 0, 0] = acc[o]
 
 
 def _auto_z_chunks(n_chan: int, k: int, nz: int, w_lane: int,
@@ -548,3 +619,203 @@ def halo_forces_pallas_fused(channels: dict, box: Box, step: Array,
     f = jnp.stack([out[0].reshape(nr), out[1].reshape(nr),
                    out[2].reshape(nr)], axis=-1)
     return f, jnp.sum(out[3])
+
+
+def _model_call(chans, mc_chan, typ_chan, tag_chan, scal, tab, box, step,
+                seed, cfg, rng_mode, rng_rounds, interpret, model, ns,
+                n_out, n_types, z_chunks=0):
+    """Shared single-chip launch for the eDPD/tDPD fused kernels."""
+    if interpret is None:
+        interpret = os.environ.get("MESO_PALLAS_INTERPRET") == "1"
+    nx, ny, nz = cfg.ncell
+    k = cfg.capacity
+    xr = 2 if cfg.spill else 1
+    if nx < 2 * xr + 1:
+        raise ValueError(f"ncx={nx} too small for the +-{xr} window")
+    w_lane = nx + 2 * xr
+    n_chan = len(chans)
+
+    zc = z_chunks
+    if zc <= 0:
+        zc = _auto_z_chunks(n_chan, k, nz, w_lane)
+    if nz % zc:
+        raise ValueError(f"z_chunks={zc} must divide ncz={nz}")
+    nzc = nz // zc
+    body_z = (nzc + 2) if zc > 1 else nz
+    l_lane = body_z * w_lane
+
+    def prep(stack):
+        c_dim = stack.shape[0]
+        planes = stack.transpose(0, 1, 3, 2, 4)
+        if zc > 1:
+            zpad = jnp.concatenate(
+                [planes[..., -1:, :], planes, planes[..., :1, :]], axis=3)
+            chunks = jnp.stack(
+                [zpad[..., i * nzc:i * nzc + nzc + 2, :]
+                 for i in range(zc)], axis=2)
+        else:
+            chunks = planes[:, :, None]
+        chunks = jnp.concatenate(
+            [chunks[..., -xr:], chunks, chunks[..., :xr]], axis=-1)
+        vw = chunks.reshape(c_dim, ny, zc, k, l_lane)
+        return jnp.concatenate([vw[:, -1:], vw, vw[:, :1]], axis=1)
+
+    view = prep(jnp.stack(chans))
+    iscal = jnp.stack([jnp.asarray(step, jnp.int32),
+                       jnp.asarray(seed).astype(jnp.int32)]).reshape(1, 2)
+    occ = jnp.max(jnp.where(
+        chans[7] > 0.5,
+        jnp.arange(1, k + 1, dtype=jnp.int32)[None, None, :, None], 0),
+        axis=(1, 2, 3))
+    jmax = jnp.maximum(jnp.maximum(occ, jnp.roll(occ, 1)),
+                       jnp.roll(occ, -1))
+    jmax = jnp.maximum(jmax, 1).reshape(1, ny)
+
+    def band_spec(dy):
+        return pl.BlockSpec(
+            (n_chan, 1, 1, k, l_lane),
+            index_map=lambda cy, cb: (0, cy + dy, cb, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec(scal.shape, lambda cy, cb: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2), lambda cy, cb: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(tab.shape, lambda cy, cb: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, ny), lambda cy, cb: (0, 0),
+                     memory_space=pltpu.SMEM),
+        band_spec(0), band_spec(1), band_spec(2),
+    ]
+    out = pl.pallas_call(
+        partial(_fused_kernel, k=k, w_lane=w_lane, l_lane=l_lane,
+                rng_mode=rng_mode, rng_rounds=rng_rounds, n_chan=n_chan,
+                n_types=n_types, typ_chan=typ_chan, tag_chan=tag_chan,
+                n_excl=0, ex_chan=-1, s_exp=1.0, xr=xr, model=model,
+                ns=ns, mc_chan=mc_chan, n_out=n_out),
+        grid=(ny, zc),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (n_out, 1, 1, k, l_lane),
+            index_map=lambda cy, cb: (0, cy, cb, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_out, ny, zc, k, l_lane),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((3, n_chan, k, l_lane), jnp.float32)],
+        interpret=interpret,
+    )(scal, iscal, tab, jmax, view, view, view)
+
+    out = out.reshape(n_out, ny, zc, k, body_z, w_lane)[..., xr:-xr]
+    if zc > 1:
+        out = out[..., 1:-1, :]
+    out = out.transpose(0, 1, 2, 4, 3, 5).reshape(n_out, ny, nz, k, nx)
+    return out
+
+
+def _model_chans(x, v, typ, tag, mask, step, seed, rng_rounds, shape,
+                 n_types, extra):
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    h = rngmod.particle_hash(tag, step, seed, rounds=rng_rounds)
+    chans = [
+        x[:, 0].reshape(shape), x[:, 1].reshape(shape), x[:, 2].reshape(shape),
+        v[:, 0].reshape(shape), v[:, 1].reshape(shape), v[:, 2].reshape(shape),
+        bc(h).reshape(shape),
+        mask.astype(jnp.float32).reshape(shape),
+        bc(tag).reshape(shape),
+    ]
+    tag_chan = 8
+    typ_chan = -1
+    if n_types > 1:
+        typ_chan = len(chans)
+        chans.append(typ.astype(jnp.float32).reshape(shape))
+    mc_chan = len(chans)
+    chans += [e.reshape(shape) for e in extra]
+    return chans, tag_chan, typ_chan, mc_chan
+
+
+@partial(jax.jit, static_argnames=("dt", "cfg", "rng_rounds", "interpret",
+                                   "rng_mode", "z_chunks"))
+def bucket_forces_pallas_edpd_fused(x, v, t, typ, tag, mask, box: Box, step,
+                                    params, dt: float, cfg: CellConfig,
+                                    rng_rounds: int = 8,
+                                    interpret: bool | None = None,
+                                    rng_mode: str = "fast",
+                                    z_chunks: int = 0):
+    """eDPD forces + heat via the fused-lane kernel (SURVEY rows 22/A.2).
+    Returns (f, dTdt, virial); interface matches ops.edpd.bucket_forces_edpd.
+    Multi-type tables, spill packing, z-chunking and the dynamic j bound all
+    apply (same machinery as the classic fused kernel)."""
+    nx, ny, nz = cfg.ncell
+    nr = x.shape[0]
+    shape = (ny, nz, cfg.capacity, nx)
+    n_types = params.a.shape[0]
+    chans, tag_chan, typ_chan, mc_chan = _model_chans(
+        x, v, typ, tag, mask, step, params.seed, rng_rounds, shape,
+        n_types, [t])
+    lens = box.lengths
+    dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
+    scal = jnp.stack([
+        params.a[0, 0], params.gamma[0, 0], jnp.float32(0.0),
+        params.rc[0, 0], lens[0], lens[1], lens[2],
+        1.0 / lens[0], 1.0 / lens[1], 1.0 / lens[2],
+        jnp.float32(1.0), dt_inv_sqrt,
+        params.kappa[0, 0], jnp.float32(1.0 / params.mass),
+        jnp.float32(0), jnp.float32(0)]).reshape(1, 16)
+    if n_types > 1:
+        tab = jnp.stack([params.a.reshape(-1), params.gamma.reshape(-1),
+                         params.kappa.reshape(-1), params.rc.reshape(-1)])
+    else:
+        tab = jnp.zeros((4, 1), jnp.float32)
+    out = _model_call(chans, mc_chan, typ_chan, tag_chan, scal, tab, box,
+                      step, params.seed, cfg, rng_mode, rng_rounds,
+                      interpret, "edpd", 0, 5, n_types, z_chunks)
+    f = jnp.stack([out[0].reshape(nr), out[1].reshape(nr),
+                   out[2].reshape(nr)], -1)
+    return f, out[4].reshape(nr) / params.cv, jnp.sum(out[3])
+
+
+@partial(jax.jit, static_argnames=("dt", "cfg", "rng_rounds", "interpret",
+                                   "rng_mode", "z_chunks"))
+def bucket_forces_pallas_tdpd_fused(x, v, c, typ, tag, mask, box: Box, step,
+                                    params, dt: float, cfg: CellConfig,
+                                    rng_rounds: int = 8,
+                                    interpret: bool | None = None,
+                                    rng_mode: str = "fast",
+                                    z_chunks: int = 0):
+    """tDPD forces + per-species fluxes via the fused-lane kernel (SURVEY
+    rows 23/A.3). Returns (f, dCdt, virial); interface matches
+    ops.tdpd.bucket_forces_tdpd. Full w_dc = (1-r/rcc)^s1 (rcc <= rc)."""
+    nx, ny, nz = cfg.ncell
+    nr = x.shape[0]
+    ns = params.n_species
+    shape = (ny, nz, cfg.capacity, nx)
+    n_types = params.a.shape[0]
+    chans, tag_chan, typ_chan, mc_chan = _model_chans(
+        x, v, typ, tag, mask, step, params.seed, rng_rounds, shape,
+        n_types, [c[:, sp] for sp in range(ns)])
+    lens = box.lengths
+    dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
+    per_species = []
+    for sp in range(ns):
+        per_species += [params.kappa_c[sp], params.eps_c[sp]]
+    scal = jnp.concatenate([jnp.stack([
+        params.a[0, 0], params.gamma[0, 0],
+        params.sigma[0, 0] * dt_inv_sqrt,
+        params.rc[0, 0], lens[0], lens[1], lens[2],
+        1.0 / lens[0], 1.0 / lens[1], 1.0 / lens[2],
+        jnp.float32(1.0), dt_inv_sqrt,
+        params.rcc, params.s1]),
+        jnp.stack(per_species).astype(jnp.float32)]).reshape(1, -1)
+    if n_types > 1:
+        tab = jnp.stack([params.a.reshape(-1), params.gamma.reshape(-1),
+                         params.sigma.reshape(-1) * dt_inv_sqrt,
+                         params.rc.reshape(-1)])
+    else:
+        tab = jnp.zeros((4, 1), jnp.float32)
+    out = _model_call(chans, mc_chan, typ_chan, tag_chan, scal, tab, box,
+                      step, params.seed, cfg, rng_mode, rng_rounds,
+                      interpret, "tdpd", ns, 4 + ns, n_types, z_chunks)
+    f = jnp.stack([out[0].reshape(nr), out[1].reshape(nr),
+                   out[2].reshape(nr)], -1)
+    dcdt = jnp.stack([out[4 + sp].reshape(nr) for sp in range(ns)], -1)
+    return f, dcdt, jnp.sum(out[3])

@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from meso_tpu.core.box import Box
 from meso_tpu.core.state import create_random
@@ -354,6 +355,88 @@ def test_tdpd_multitype_pallas_matches_bucket():
     f_p, q_p, v_p = bucket_forces_pallas_tdpd(
         bst.x, bst.v, bst.C, bst.typ, bst.tag, bst.mask, box, step, params,
         0.01, cfg, interpret=True)
+    m = np.asarray(bst.mask)
+    fs = np.abs(np.asarray(f_b)).max()
+    assert np.abs(np.asarray(f_p)[m] - np.asarray(f_b)[m]).max() / fs < 2e-6
+    qs = np.abs(np.asarray(q_b)).max()
+    assert np.abs(np.asarray(q_p)[m] - np.asarray(q_b)[m]).max() / qs < 2e-5
+    assert abs(float(v_p) - float(v_b)) / abs(float(v_b)) < 1e-5
+
+
+@pytest.mark.parametrize("rng_mode", ["fast", "tea"])
+def test_edpd_fused_kernel_matches_bucket(rng_mode):
+    """The fused-lane eDPD kernel (kernels/pair_dpd_fused.py) vs the bucket
+    sweep — interpret parity, single-type."""
+    from meso_tpu.kernels.pair_dpd_fused import bucket_forces_pallas_edpd_fused
+
+    box, st, cfg = _sys(with_energy=True)
+    st = st.replace(T=1.0 + 0.3 * jnp.sin(st.x[:, 0]))
+    params = EDPDParams.build(a=25.0, gamma=4.5, rc=1.0, kappa=1.5, cv=10.0,
+                              seed=7)
+    bst = to_bucket_state(st, cfg)
+    step = jnp.int32(12)
+    f_b, q_b, v_b = jax.jit(
+        bucket_forces_edpd, static_argnames=("dt", "cfg", "rng_mode"))(
+        bst.x, bst.v, bst.T, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg, rng_mode=rng_mode)
+    f_p, q_p, v_p = bucket_forces_pallas_edpd_fused(
+        bst.x, bst.v, bst.T, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg, interpret=True, rng_mode=rng_mode)
+    m = np.asarray(bst.mask)
+    fs = np.abs(np.asarray(f_b)).max()
+    assert np.abs(np.asarray(f_p)[m] - np.asarray(f_b)[m]).max() / fs < 2e-6
+    qs = max(np.abs(np.asarray(q_b)).max(), 1e-9)
+    assert np.abs(np.asarray(q_p)[m] - np.asarray(q_b)[m]).max() / qs < 2e-5
+    assert abs(float(v_p) - float(v_b)) / abs(float(v_b)) < 1e-5
+
+
+def test_edpd_fused_kernel_multitype():
+    from meso_tpu.kernels.pair_dpd_fused import bucket_forces_pallas_edpd_fused
+
+    box, st, cfg = _sys(with_energy=True)
+    st = st.replace(T=1.0 + 0.3 * jnp.sin(st.x[:, 0]),
+                    typ=(st.tag % 2).astype(jnp.int32))
+    a = jnp.asarray([[25.0, 35.0], [35.0, 18.0]], jnp.float32)
+    g = jnp.asarray([[4.5, 6.0], [6.0, 3.0]], jnp.float32)
+    kap = jnp.asarray([[1.5, 0.7], [0.7, 2.2]], jnp.float32)
+    params = EDPDParams.build(a=a, gamma=g, rc=1.0, kappa=kap, cv=10.0,
+                              seed=7, n_types=2)
+    bst = to_bucket_state(st, cfg)
+    step = jnp.int32(12)
+    f_b, q_b, v_b = jax.jit(
+        bucket_forces_edpd, static_argnames=("dt", "cfg"))(
+        bst.x, bst.v, bst.T, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg)
+    f_p, q_p, v_p = bucket_forces_pallas_edpd_fused(
+        bst.x, bst.v, bst.T, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg, interpret=True)
+    m = np.asarray(bst.mask)
+    fs = np.abs(np.asarray(f_b)).max()
+    assert np.abs(np.asarray(f_p)[m] - np.asarray(f_b)[m]).max() / fs < 2e-6
+    qs = max(np.abs(np.asarray(q_b)).max(), 1e-9)
+    assert np.abs(np.asarray(q_p)[m] - np.asarray(q_b)[m]).max() / qs < 2e-5
+
+
+@pytest.mark.parametrize("rng_mode", ["fast", "tea"])
+def test_tdpd_fused_kernel_matches_bucket(rng_mode):
+    from meso_tpu.kernels.pair_dpd_fused import bucket_forces_pallas_tdpd_fused
+
+    box, st, cfg = _sys(n_species=2)
+    st = st.replace(
+        C=jnp.stack([1.0 + 0.5 * jnp.cos(st.x[:, 0]),
+                     0.5 + 0.2 * jnp.sin(st.x[:, 1])], -1))
+    params = TDPDParams.build(a=25.0, gamma=4.5, rc=1.0, kt=1.0,
+                              kappa_c=[1.0, 0.5], eps_c=[0.1, 0.05],
+                              rcc=0.8, s1=2.0, seed=5)
+    bst = to_bucket_state(st, cfg)
+    step = jnp.int32(4)
+    f_b, q_b, v_b = jax.jit(
+        bucket_forces_tdpd, static_argnames=("dt", "cfg", "rng_mode"))(
+        bst.x, bst.v, bst.C, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg, rng_mode=rng_mode)
+    f_p, q_p, v_p = bucket_forces_pallas_tdpd_fused(
+        bst.x, bst.v, bst.C, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg, interpret=True, rng_mode=rng_mode)
     m = np.asarray(bst.mask)
     fs = np.abs(np.asarray(f_b)).max()
     assert np.abs(np.asarray(f_p)[m] - np.asarray(f_b)[m]).max() / fs < 2e-6
