@@ -132,8 +132,12 @@ def compute_forces(system: System, params: SystemParams, state: State,
                 params.pair, system.dt, system.cells,
                 rng_rounds=system.rng_rounds, rng_mode=system.rng_mode)
         elif system.force_path == "pallas":
-            from meso_tpu.kernels.pair_dpd_fused import \
-                bucket_forces_pallas_edpd_fused as efn
+            if not system.cells.spill:
+                # same small-shape Mosaic routing as classic (see below)
+                from meso_tpu.ops.edpd import bucket_forces_edpd as efn
+            else:
+                from meso_tpu.kernels.pair_dpd_fused import \
+                    bucket_forces_pallas_edpd_fused as efn
             f, dtdt, virial = efn(
                 x, v, t, state.typ, state.tag, state.mask, state.box, step,
                 params.pair, system.dt, system.cells,
@@ -162,8 +166,11 @@ def compute_forces(system: System, params: SystemParams, state: State,
                 params.pair, system.dt, system.cells,
                 rng_rounds=system.rng_rounds, rng_mode=system.rng_mode)
         elif system.force_path == "pallas":
-            from meso_tpu.kernels.pair_dpd_fused import \
-                bucket_forces_pallas_tdpd_fused as tfn
+            if not system.cells.spill:
+                from meso_tpu.ops.tdpd import bucket_forces_tdpd as tfn
+            else:
+                from meso_tpu.kernels.pair_dpd_fused import \
+                    bucket_forces_pallas_tdpd_fused as tfn
             f, dcdt, virial = tfn(
                 x, v, c, state.typ, state.tag, state.mask, state.box, step,
                 params.pair, system.dt, system.cells,

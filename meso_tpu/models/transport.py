@@ -66,6 +66,7 @@ def edpd_slab(l: float = 8.0, density: float = 3.0, kt: float = 1.0,
                      cold_lo=l / 2, cold_hi=l / 2 + slab_w,
                      t_hot=t_hot, t_cold=t_cold)
     system = System.for_fluid([l] * 3, rc=rc, density=density, dt=dt,
+                              spill=force_path == "pallas",
                               skin=skin, rng_mode="fast")
     system = system.replace(model="edpd", force_path=force_path, fixes=(fix,))
     return system, params, setup(system, params, state)
@@ -93,6 +94,7 @@ def tdpd_diffusion(l: float = 8.0, density: float = 3.0, kt: float = 1.0,
                             seed=seed)
     params = SystemParams.build_raw(pair)
     system = System.for_fluid([l] * 3, rc=rc, density=density, dt=dt,
+                              spill=force_path == "pallas",
                               skin=skin, rng_mode="fast")
     system = system.replace(model="tdpd", force_path=force_path)
     return system, params, setup(system, params, state)

@@ -443,3 +443,30 @@ def test_tdpd_fused_kernel_matches_bucket(rng_mode):
     qs = np.abs(np.asarray(q_b)).max()
     assert np.abs(np.asarray(q_p)[m] - np.asarray(q_b)[m]).max() / qs < 2e-5
     assert abs(float(v_p) - float(v_b)) / abs(float(v_b)) < 1e-5
+
+
+def test_edpd_fused_kernel_spill_layout():
+    """eDPD fused kernel on the right-spill layout vs the dense oracle."""
+    from meso_tpu.kernels.pair_dpd_fused import bucket_forces_pallas_edpd_fused
+
+    l, n = 8.0, 1536
+    box = Box.cubic(l)
+    st = create_random(jax.random.PRNGKey(6), n, box, kt=1.0)
+    st = st.replace(T=1.0 + 0.3 * jnp.sin(st.x[:, 0]))
+    cfg = CellConfig.for_box([l] * 3, rc=1.0, density=n / l**3, skin=0.3,
+                             spill=True)
+    assert cfg.spill
+    params = EDPDParams.build(a=25.0, gamma=4.5, rc=1.0, kappa=1.5,
+                              cv=10.0, seed=7)
+    bst = to_bucket_state(st, cfg)
+    step = jnp.int32(3)
+    f_d, q_d, v_d = dense_forces_edpd(bst.x, bst.v, bst.T, bst.typ, bst.tag,
+                                      bst.mask, box, step, params, 0.01)
+    f_p, q_p, v_p = bucket_forces_pallas_edpd_fused(
+        bst.x, bst.v, bst.T, bst.typ, bst.tag, bst.mask, box, step, params,
+        0.01, cfg, interpret=True)
+    m = np.asarray(bst.mask)
+    fs = np.abs(np.asarray(f_d)).max()
+    assert np.abs(np.asarray(f_p)[m] - np.asarray(f_d)[m]).max() / fs < 1e-5
+    qs = max(np.abs(np.asarray(q_d)).max(), 1e-9)
+    assert np.abs(np.asarray(q_p)[m] - np.asarray(q_d)[m]).max() / qs < 1e-4
