@@ -452,7 +452,8 @@ def test_edpd_fused_kernel_spill_layout():
     l, n = 8.0, 1536
     box = Box.cubic(l)
     st = create_random(jax.random.PRNGKey(6), n, box, kt=1.0)
-    st = st.replace(T=1.0 + 0.3 * jnp.sin(st.x[:, 0]))
+    st = st.replace(T=1.0 + 0.3 * jnp.sin(st.x[:, 0]),
+                    dTdt=jnp.zeros(st.n))
     cfg = CellConfig.for_box([l] * 3, rc=1.0, density=n / l**3, skin=0.3,
                              spill=True)
     assert cfg.spill
