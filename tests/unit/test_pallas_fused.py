@@ -231,3 +231,36 @@ def test_fused_bf16_v_channels():
     assert err < 3e-3          # bf16 enters only via the dissipative term
     assert err > 0.0           # and the flag actually switches the path
     assert np.abs(np.asarray(f16)[~m]).max() == 0.0
+
+
+def test_spill_production_loop_matches_bucket():
+    """20 steps of the fused spill path (run_bucket_chunked) == 20 steps of
+    the strict XLA bucket path, compared by tag."""
+    import os
+
+    from meso_tpu.core.system import System, SystemParams, setup, \
+        run_bucket_chunked
+
+    os.environ["MESO_PALLAS_INTERPRET"] = "1"   # production path reads env
+    l = 8.0
+    n = int(3 * l ** 3)
+    box = Box.cubic(l)
+    st0 = create_random(jax.random.PRNGKey(8), n, box, kt=1.0)
+    params = SystemParams.build(
+        DPDParams.build(a=25.0, gamma=4.5, rc=1.0, kt=1.0, seed=5))
+
+    outs = {}
+    for path, spill in (("bucket", False), ("pallas", True)):
+        system = System.for_fluid([l] * 3, rc=1.0, density=n / l**3,
+                                  dt=0.01, skin=0.3, rebuild_every=5,
+                                  rng_mode="fast", spill=spill)
+        system = system.replace(force_path=path)
+        st = setup(system, params, st0)
+        st, diag = run_bucket_chunked(system, params, st, 4, 5)
+        assert int(diag["bucket_overflow"]) == 0
+        m = np.asarray(st.mask)
+        t = np.asarray(st.tag)[m]
+        o = np.argsort(t)
+        outs[path] = (np.asarray(st.x)[m][o], np.asarray(st.v)[m][o])
+    assert np.abs(outs["pallas"][0] - outs["bucket"][0]).max() < 1e-4
+    assert np.abs(outs["pallas"][1] - outs["bucket"][1]).max() < 1e-3

@@ -31,6 +31,9 @@ def main():
     system, params, state = classic_fluid(l=l, rng_mode="fast", skin=skin,
                                           rebuild_every=every,
                                           force_path=path)
+    if os.environ.get("MESO_BENCH_BF16") == "1":
+        system = system.replace(bf16_v=True)
+        print("bf16_v on", flush=True)
     n_real = int(state.n_valid())
     print(f"setup {time.time()-t0:.1f}s rows={state.n} real={n_real} "
           f"cfg={system.cells}", flush=True)
