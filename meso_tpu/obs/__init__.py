@@ -7,3 +7,5 @@ from meso_tpu.obs.viscosity import muller_plathe_swap, run_viscosity_mp
 
 __all__ = ["kinetic_temperature", "total_momentum", "pressure",
            "kinetic_energy", "rdf", "muller_plathe_swap", "run_viscosity_mp"]
+from meso_tpu.obs.msd import (msd, unwrapped,  # noqa: F401,E402
+                              diffusion_coefficient)

@@ -149,3 +149,41 @@ def test_distributed_bonded_build_contract():
     assert build_domain2d(system, 2, 2, 10.4, 10.4).nx_dev == 2
     assert build_domain3d(system, 2, 2, 2, 10.4, 10.4,
                           10.4).nz_dev == 2
+
+
+def test_msd_unwrapped_across_boundary():
+    """MSD must count box crossings via image flags, not fold them."""
+    import jax.numpy as jnp
+
+    from meso_tpu.core.box import Box
+    from meso_tpu.obs import msd, unwrapped
+
+    box = Box.cubic(10.0)
+    x0 = jnp.asarray([[9.5, 5.0, 5.0], [1.0, 1.0, 1.0]])
+    img0 = jnp.zeros((2, 3), jnp.int32)
+    # particle 0 moved +1.0 in x, wrapping the boundary
+    x1 = jnp.asarray([[0.5, 5.0, 5.0], [1.0, 1.0, 1.0]])
+    img1 = jnp.asarray([[1, 0, 0], [0, 0, 0]], jnp.int32)
+    mask = jnp.ones(2, bool)
+    x0u = unwrapped(x0, img0, box)
+    m = float(msd(x1, img1, x0u, mask, box))
+    assert abs(m - 0.5) < 1e-6   # mean of (1.0^2, 0) = 0.5
+
+
+def test_msd_diffusion_on_short_run():
+    """Free DPD fluid: MSD grows, D = MSD/(6t) is positive and finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from meso_tpu.core.system import run_chunk
+    from meso_tpu.models.classic import classic_fluid
+    from meso_tpu.obs import diffusion_coefficient, msd, unwrapped
+
+    system, params, state = classic_fluid(l=5.0, force_path="dense",
+                                          rng_mode="fast")
+    x0u = unwrapped(state.x, state.image, state.box)
+    state = run_chunk(system, params, state, 150)
+    m = float(msd(state.x, state.image, x0u, state.mask, state.box))
+    d = float(diffusion_coefficient(m, 150 * system.dt))
+    assert m > 0.05
+    assert 0.0 < d < 10.0
