@@ -77,9 +77,13 @@ class System:
     #                               no transcendentals); must match params
     z_chunks: int = 0             # fused-kernel z-chunk split (0 = auto
     #                               from the VMEM budget; autotunable)
-    bf16_v: bool = False          # bf16 velocity channels in the fused
-    #                               kernel (row 31 mixed precision; ~2.7e-4
-    #                               rel force error, fp32 accumulation)
+    bf16_v: bool = False          # EXPERIMENTAL bf16 velocity channels in
+    #                               the fused kernel (row 31). Interpret
+    #                               mode exact (~3e-4 rel); the current
+    #                               device toolchain MISCOMPILES the bf16
+    #                               band-ref path (TPU_SUITE r2) — keep off
+    #                               on device until the suite INFO line
+    #                               reads < 3e-3
     bond_style: str | None = None  # "fene" | "harmonic" | "wlc_pow"
     n_tags: int = 0               # max particle tag (bonded topology space)
     n_mols: int = 0               # molecule count (membrane reductions)
