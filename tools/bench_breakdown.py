@@ -1,4 +1,7 @@
-"""Break down pallas-path step cost: pure scan vs rebuild vs cond-loop."""
+"""Break down the fused-pallas step cost on device: bare kernel vs channel
+prep vs rebuild vs full step vs fused chunk. Usage:
+    python tools/tpu_retry.py --timeout 900 tools/bench_breakdown.py [L]
+"""
 
 import sys
 import time
@@ -21,65 +24,48 @@ def timeit(f, *a, reps=3):
 
 def main():
     l = float(sys.argv[1]) if len(sys.argv) > 1 else 32.0
-    from meso_tpu.core.system import make_step, run_bucket
-    from meso_tpu.kernels.pair_dpd import bucket_forces_pallas
+    from meso_tpu.core.system import _bucket_chunk, make_step
+    from meso_tpu.kernels.pair_dpd_fused import bucket_forces_pallas_fused
     from meso_tpu.models.classic import classic_fluid
     from meso_tpu.neighbor.bucket_layout import rebuild_buckets
 
     print(jax.devices(), flush=True)
-    system, params, state = classic_fluid(l=l, rng_mode="fast",
+    system, params, state = classic_fluid(l=l, rng_mode="fast", skin=0.4,
+                                          rebuild_every=3,
                                           force_path="pallas")
     n_real = int(state.n_valid())
-    print(f"rows={state.n} real={n_real}", flush=True)
+    print(f"rows={state.n} real={n_real} cfg={system.cells}", flush=True)
 
-    # 1) bare kernel
     @jax.jit
     def kern(s):
-        f, vir = bucket_forces_pallas(s.x, s.v, s.typ, s.tag, s.mask, s.box,
-                                      s.step, params.pair, system.dt,
-                                      system.cells)
-        return s.replace(f=f)
-    t, state = timeit(kern, state)
-    print(f"bare kernel call: {t*1e3:.2f} ms", flush=True)
+        f, vir = bucket_forces_pallas_fused(
+            s.x, s.v, s.typ, s.tag, s.mask, s.box, s.step, params.pair,
+            system.dt, system.cells)
+        return f
 
-    # 2) single jitted step (integrate + kernel)
+    t, _ = timeit(kern, state)
+    print(f"bare fused kernel + prep: {t*1e3:.2f} ms", flush=True)
+
+    @jax.jit
+    def reb(s):
+        s2, of = rebuild_buckets(s, system.cells)
+        return s2.x
+
+    t, _ = timeit(reb, state)
+    print(f"rebuild_buckets:          {t*1e3:.2f} ms "
+          f"(/{system.cells.rebuild_every} steps = "
+          f"{t*1e3/system.cells.rebuild_every:.2f} ms/step)", flush=True)
+
     step_fn = make_step(system)
-    sj = jax.jit(lambda s: step_fn(params, s))
-    t, state = timeit(sj, state)
-    print(f"one step (no scan): {t*1e3:.2f} ms", flush=True)
+    jstep = jax.jit(lambda s: step_fn(params, s))
+    t, _ = timeit(jstep, state)
+    print(f"one full step (jit):      {t*1e3:.2f} ms", flush=True)
 
-    # 3) scan of 20 steps, no rebuild
-    @jax.jit
-    def scan20(s):
-        def body(c, _):
-            return step_fn(params, c), None
-        s, _ = jax.lax.scan(body, s, None, length=20)
-        return s
-    t, state = timeit(scan20, state)
-    print(f"scan(20) no rebuild: {t/20*1e3:.2f} ms/step", flush=True)
-
-    # 4) rebuild alone
-    rb = jax.jit(lambda s: rebuild_buckets(s, system.cells))
-    t, (state, _) = timeit(rb, state)
-    print(f"rebuild: {t*1e3:.2f} ms", flush=True)
-
-    # 5) host-chunked: rebuild + scan(10) per iteration
-    @jax.jit
-    def chunk(s):
-        s, of = rebuild_buckets(s, system.cells)
-        def body(c, _):
-            return step_fn(params, c), None
-        s, _ = jax.lax.scan(body, s, None, length=10)
-        return s
-    t, state = timeit(chunk, state)
-    print(f"chunk rebuild+scan(10): {t/10*1e3:.2f} ms/step "
-          f"-> {n_real/(t/10):.3e} ps/s", flush=True)
-
-    # 6) run_bucket (cond loop) for reference
-    t, (state, diag) = timeit(lambda s: run_bucket(system, params, s, 20),
-                              state, reps=2)
-    print(f"run_bucket(20): {t/20*1e3:.2f} ms/step "
-          f"(rebuilds {int(diag['n_rebuilds'])}/20)", flush=True)
+    every = system.cells.rebuild_every
+    t, _ = timeit(lambda s: _bucket_chunk(system, params, s, every)[0],
+                  state)
+    print(f"chunk (rebuild+{every} steps): {t*1e3:.2f} ms "
+          f"-> {t*1e3/every:.2f} ms/step", flush=True)
     return 0
 
 
