@@ -151,6 +151,7 @@ def rebuild_buckets(state: State, cfg: CellConfig) -> tuple[State, Array]:
         _, am = jax.lax.associative_scan(comb, (base, a))
         l_lin = r + am
         in_row = valid_s & (l_lin < jnp.minimum((cxs + 2) * k, nx * k))
+        arange_n = jnp.arange(n_in, dtype=jnp.int32)
         # the LAST cell cannot spill right in-row: wrap its overflow into
         # cell 0's top free slots (the kernel's circular +-2 window plus
         # the wrap pad columns cover wrap spillers on both sides)
@@ -166,7 +167,10 @@ def rebuild_buckets(state: State, cfg: CellConfig) -> tuple[State, Array]:
         cell_a = jnp.where(wrap_ok, 0, l_lin // k)
         slot = jnp.where(wrap_ok, k - 1 - m, l_lin - (l_lin // k) * k)
         target = (base * k + slot) * nx + cell_a
-        target = jnp.where(fits, target, nr)
+        # dropped rows get DISTINCT out-of-bounds targets so the scatter can
+        # honestly claim unique indices (a large fast-path win on this
+        # backend: the padded-row scatter dominates the rebuild otherwise)
+        target = jnp.where(fits, target, nr + arange_n)
     else:
         # rank within cell (strict buckets)
         n_cells = nx * ny * nz
@@ -177,13 +181,14 @@ def rebuild_buckets(state: State, cfg: CellConfig) -> tuple[State, Array]:
         fits = valid_s & (rank < k)
         overflow = jnp.sum(valid_s & (rank >= k))
         target = (base * k + jnp.minimum(rank, k - 1)) * nx + cxs
-        target = jnp.where(fits, target, nr)  # dropped -> out of bounds
+        target = jnp.where(fits, target,
+                           nr + jnp.arange(n_in, dtype=jnp.int32))
 
     packed, layout = _pack_rows(state)
-    packed_s = jnp.take(packed, order, axis=0)
+    packed_s = jnp.take(packed, order, axis=0, unique_indices=True)
     w = packed.shape[1]
-    out = jnp.zeros((nr, w), jnp.float32).at[target].set(packed_s,
-                                                         mode="drop")
+    out = jnp.zeros((nr, w), jnp.float32).at[target].set(
+        packed_s, mode="drop", unique_indices=True)
     new = _unpack_rows(out, layout, state)
     return new, overflow
 
