@@ -92,14 +92,15 @@ def _rebuild_slab(state: State, cfg: CellConfig, slab_lo: Array,
     base = key_s // nx
     cxs = key_s - base * nx
     target = (base * k + jnp.minimum(rank, k - 1)) * nx + cxs
-    target = jnp.where(fits, target, nr)
+    # distinct OOB targets for dropped rows -> honest unique-indices scatter
+    target = jnp.where(fits, target, nr + jnp.arange(n_in, dtype=jnp.int32))
 
     def scatter(a, fill=0):
         if a is None:
             return None
-        a_s = jnp.take(a, order, axis=0)
+        a_s = jnp.take(a, order, axis=0, unique_indices=True)
         out = jnp.full((nr,) + a.shape[1:], fill, a.dtype)
-        return out.at[target].set(a_s, mode="drop")
+        return out.at[target].set(a_s, mode="drop", unique_indices=True)
 
     new = State(
         x=scatter(state.x), v=scatter(state.v), f=scatter(state.f),

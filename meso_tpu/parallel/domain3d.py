@@ -121,13 +121,14 @@ def _rebuild_brick3d(state: State, cfg: CellConfig, ox: Array, oy: Array,
     base = key_s // nx
     cxs = key_s - base * nx
     target = (base * k + jnp.minimum(rank, k - 1)) * nx + cxs
-    target = jnp.where(fits, target, nr)
+    # distinct OOB targets for dropped rows -> honest unique-indices scatter
+    target = jnp.where(fits, target, nr + jnp.arange(n_in, dtype=jnp.int32))
 
     from meso_tpu.neighbor.bucket_layout import _pack_rows, _unpack_rows
     packed, layout = _pack_rows(state)
-    packed_s = jnp.take(packed, order, axis=0)
+    packed_s = jnp.take(packed, order, axis=0, unique_indices=True)
     out = jnp.zeros((nr, packed.shape[1]), jnp.float32).at[target].set(
-        packed_s, mode="drop")
+        packed_s, mode="drop", unique_indices=True)
     return _unpack_rows(out, layout, state), overflow
 
 
