@@ -184,11 +184,16 @@ def rebuild_buckets(state: State, cfg: CellConfig) -> tuple[State, Array]:
         target = jnp.where(fits, target,
                            nr + jnp.arange(n_in, dtype=jnp.int32))
 
+    # Placement via an int32 INDEX MAP + one wide gather: on this backend a
+    # (n, W) row scatter runs ~5x slower than the same-shape gather
+    # (measured r2: scatter 236 ms vs gather 51 ms at 2M x 16), so scatter
+    # only the 4-byte source indices and gather the payload once.
+    idx_map = jnp.full((nr,), -1, jnp.int32).at[target].set(
+        jnp.arange(n_in, dtype=jnp.int32), mode="drop", unique_indices=True)
+    src = jnp.take(order, jnp.maximum(idx_map, 0))
     packed, layout = _pack_rows(state)
-    packed_s = jnp.take(packed, order, axis=0, unique_indices=True)
-    w = packed.shape[1]
-    out = jnp.zeros((nr, w), jnp.float32).at[target].set(
-        packed_s, mode="drop", unique_indices=True)
+    out = jnp.take(packed, src, axis=0)
+    out = jnp.where((idx_map >= 0)[:, None], out, 0.0)
     new = _unpack_rows(out, layout, state)
     return new, overflow
 

@@ -125,10 +125,13 @@ def _rebuild_brick3d(state: State, cfg: CellConfig, ox: Array, oy: Array,
     target = jnp.where(fits, target, nr + jnp.arange(n_in, dtype=jnp.int32))
 
     from meso_tpu.neighbor.bucket_layout import _pack_rows, _unpack_rows
+    # index-map + one wide gather (see bucket_layout.rebuild_buckets)
+    idx_map = jnp.full((nr,), -1, jnp.int32).at[target].set(
+        jnp.arange(n_in, dtype=jnp.int32), mode="drop", unique_indices=True)
+    src = jnp.take(order, jnp.maximum(idx_map, 0))
     packed, layout = _pack_rows(state)
-    packed_s = jnp.take(packed, order, axis=0, unique_indices=True)
-    out = jnp.zeros((nr, packed.shape[1]), jnp.float32).at[target].set(
-        packed_s, mode="drop", unique_indices=True)
+    out = jnp.take(packed, src, axis=0)
+    out = jnp.where((idx_map >= 0)[:, None], out, 0.0)
     return _unpack_rows(out, layout, state), overflow
 
 
