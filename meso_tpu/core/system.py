@@ -204,14 +204,14 @@ def compute_forces(system: System, params: SystemParams, state: State,
     if system.force_path == "pallas":
         if system.cells.spill and system.rng_mode == "tea":
             # KNOWN ISSUE (r2): spill + TEA miscompiles on this device
-            # toolchain (rel 1.18 vs dense at l=10; fast tier and interpret
-            # are exact) — route to the exact sweep until characterized
-            from meso_tpu.ops.bucket_dpd import bucket_forces_xla as bf
-            f, virial = bf(
-                x, v, state.typ, state.tag, state.mask, state.box, step,
-                params.pair, system.dt, system.cells,
-                rng_mode=system.rng_mode, rng_rounds=system.rng_rounds)
-            return f, {"virial": virial}
+            # toolchain (rel ~1.2 vs dense; fast tier and interpret are
+            # exact). The sweep cannot read a spill layout (slot-cell may
+            # differ from true cell), so the only safe combination is
+            # strict buckets + sweep: builders default spill off for tea.
+            raise ValueError(
+                "spill layout with rng_mode='tea' is disabled (device "
+                "toolchain miscompile; see PERF_NOTES.md) — build the "
+                "system with spill=False for the tea tier")
         if not system.cells.spill:
             # KNOWN ISSUE (r2, 2026-08-16): the compiled strict-bucket
             # fused kernel miscomputes on some small shapes (observed at

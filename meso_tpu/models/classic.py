@@ -32,7 +32,9 @@ def classic_fluid(l: float = 32.0, density: float = 3.0, kt: float = 1.0,
     params = SystemParams.build(
         DPDParams.build(a=a, gamma=gamma, rc=rc, kt=kt, seed=seed))
     if spill is None:
-        spill = force_path == "pallas"
+        # tea tier: spill is disabled (device miscompile; strict buckets
+        # route to the exact sweep)
+        spill = force_path == "pallas" and rng_mode != "tea"
     system = System.for_fluid([l] * 3, rc=rc, density=density, dt=dt,
                               skin=skin, rebuild_every=rebuild_every,
                               rng_mode=rng_mode, spill=spill)
