@@ -28,6 +28,11 @@ def main(argv=None):
                     help="run under 1-D spatial domain decomposition over "
                          "the first N devices (the mpirun -np analog; "
                          "supports bonded systems incl. config 5)")
+    ap.add_argument("--validate", action="store_true",
+                    help="before running, validate the configured force "
+                         "path against the dense O(N^2) oracle at the "
+                         "initial state (all models; SURVEY 5.2) — "
+                         "validation-scale decks only")
     args = ap.parse_args(argv)
 
     from meso_tpu.core.system import run_adaptive, run_bucket_chunked
@@ -50,6 +55,16 @@ def main(argv=None):
     deck = load_deck(args.deck, overrides=overrides or None)
     system, params, state, run_cfg = build_from_deck(deck)
     steps = args.steps if args.steps is not None else run_cfg.steps
+    if args.validate:
+        from meso_tpu.utils.debug import validate_forces
+        report = validate_forces(system, params, state)
+        print("validate:", " ".join(f"{k}={v:.3e}" if isinstance(v, float)
+                                    else f"{k}={v}"
+                                    for k, v in sorted(report.items())))
+        if report["max_rel"] > 1e-3:
+            print("validate: FORCE PATH DEVIATES from the dense oracle",
+                  file=sys.stderr)
+            return 2
     if args.autotune:
         if system.force_path not in ("bucket", "pallas"):
             print("--autotune requires a bucketed force path", file=sys.stderr)

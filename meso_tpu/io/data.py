@@ -71,6 +71,7 @@ def _read_npz(path: str) -> dict:
         "angle_type": np.asarray(z.get("angle_type",
                                        np.zeros(len(z["angles"]))),
                                  np.int32) if "angles" in z else None,
+        "has_velocities": "v" in z,
     }
     return out
 
@@ -122,6 +123,7 @@ def _read_lammps_text(path: str) -> dict:
         "tag": np.arange(1, n + 1, dtype=np.int32),
         "masses": None, "bonds": None, "bond_type": None,
         "angles": None, "angle_type": None,
+        "has_velocities": False,
     }
 
     def body(start, count):
@@ -142,6 +144,7 @@ def _read_lammps_text(path: str) -> dict:
             i += 1
             continue
         section = s
+        raw_line = lines[i]  # keeps the style hint comment: 'Atoms # atomic'
         if section.startswith("Masses"):
             rows, i = body(i + 1, counts["n_atom_types"])
             m = np.ones(counts["n_atom_types"], np.float32)
@@ -149,11 +152,20 @@ def _read_lammps_text(path: str) -> dict:
                 m[int(r[0]) - 1] = float(r[1])
             out["masses"] = m
         elif section.startswith("Atoms"):
-            molecular = "atomic" not in section
             rows, i = body(i + 1, n)
+            # LAMMPS writes the atom style as a comment ('Atoms # atomic'),
+            # which _strip removed from `section` — read it from the raw
+            # line; absent a hint, infer from the column count (atomic rows
+            # have 5 or 8 values, molecular 6 or 9)
+            if "#" in raw_line:
+                molecular = "atomic" not in raw_line.split("#", 1)[1]
+            elif rows:
+                molecular = len(rows[0]) in (6, 9)
+            else:
+                molecular = True
             for r in rows:
                 idx = int(r[0]) - 1
-                if molecular and len(r) >= 5 + 1:
+                if molecular:
                     out["mol"][idx] = int(r[1])
                     out["typ"][idx] = int(r[2]) - 1
                     vals = r[3:]
@@ -167,6 +179,7 @@ def _read_lammps_text(path: str) -> dict:
                                          int(vals[5])]
         elif section.startswith("Velocities"):
             rows, i = body(i + 1, n)
+            out["has_velocities"] = True
             for r in rows:
                 out["v"][int(r[0]) - 1] = [float(r[1]), float(r[2]),
                                            float(r[3])]
@@ -214,7 +227,12 @@ def state_from_data(data: dict, kt_init: float | None = None,
     lengths = data["box_hi"] - data["box_lo"]
     box = Box.orthorhombic(*[float(v) for v in lengths])
     x = jnp.asarray(data["x"] - data["box_lo"], jnp.float32)
-    if kt_init is not None and not np.any(data["v"]):
+    # Maxwell-initialize only when the file carries NO Velocities section —
+    # a deliberately cold start (v=0 present) must stay cold even though the
+    # deck path always passes kt_init (ADVICE r2). Older dicts without the
+    # presence flag fall back to the all-zero heuristic.
+    has_v = data.get("has_velocities", bool(np.any(data["v"])))
+    if kt_init is not None and not has_v:
         masses = data["masses"]
         m = 1.0 if masses is None else masses[data["typ"]]
         v = maxwell_velocities(jax.random.PRNGKey(init_seed), n, kt_init, m)

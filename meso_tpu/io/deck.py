@@ -218,7 +218,18 @@ def build_from_deck(deck: dict):
                     angle_type=jnp.asarray(data["angle_type"]),
                     angle_coeffs=jnp.asarray(acoeffs))
             params = params.replace(bonded=bonded)
-            system = system.replace(bond_style=style, n_tags=n)
+            # tags need not be contiguous 1..N: size the inverse-tag tables
+            # from the max tag, and reject bonds referencing unknown tags
+            # (out-of-range scatter would silently drop partners, ADVICE r2)
+            n_tags = int(np.max(data["tag"]))
+            max_bond_tag = int(np.max(data["bonds"]))
+            if data["angles"] is not None:
+                max_bond_tag = max(max_bond_tag, int(np.max(data["angles"])))
+            if max_bond_tag > n_tags or int(np.min(data["bonds"])) < 1:
+                raise ValueError(
+                    f"read_data: bond/angle tag out of range (max referenced "
+                    f"{max_bond_tag}, max atom tag {n_tags})")
+            system = system.replace(bond_style=style, n_tags=n_tags)
     else:
         raise ValueError(f"unknown atoms.create {create!r}")
     state = setup(system, params, state)
