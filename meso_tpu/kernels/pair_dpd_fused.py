@@ -255,9 +255,8 @@ def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
             fmag = jnp.where(ok, fmag, 0.0)
             inside_c = ok & (r2 < rcc * rcc)
             wdc_base = jnp.maximum(1.0 - rr / rcc, 0.0)
-            if True:
-                wdc = jnp.where(s1 == 1.0, wdc_base,
-                                jnp.power(wdc_base, s1))
+            wdc = jnp.where(s1 == 1.0, wdc_base,
+                            jnp.power(wdc_base, s1))
             wrc = jnp.sqrt(wdc)
             new_extras = []
             for sp in range(ns):
@@ -478,41 +477,94 @@ def bucket_forces_pallas_fused(x: Array, v: Array, typ: Array, tag: Array,
     return f, jnp.sum(out[3])
 
 
-@partial(jax.jit, static_argnames=("dt", "cfg", "ext", "rng_mode",
-                                   "rng_rounds", "interpret", "s_exp",
-                                   "n_types", "n_excl", "vma"))
-def halo_forces_pallas_fused(channels: dict, box: Box, step: Array,
-                             params: DPDParams, dt: float, cfg: CellConfig,
-                             ext: tuple = ("x",), rng_mode: str = "fast",
-                             rng_rounds: int = 8,
-                             interpret: bool | None = None,
-                             s_exp: float = 1.0, n_types: int = 1,
-                             n_excl: int = 0, vma: tuple = ("x",)):
-    """Fused-lane kernel over a halo-EXTENDED local brick — the multi-chip
-    hot path for 1-D/2-D/3-D spatial decomposition (SURVEY §2c row 1).
+def _halo_call(chans, scal, iscal, tab, cfg, ext, rng_mode, rng_rounds,
+               interpret, s_exp, n_types, typ_chan, tag_chan, n_excl,
+               ex_chan, vma, valid_plane, xr, model="dpd", ns=0,
+               mc_chan=-1, n_out=4):
+    """Shared pallas launch over a halo-EXTENDED local brick.
 
-    ``channels``: dict of (ny_e, nz_e, K, nx_e) planes; each axis named in
-    ``ext`` is extended by ONE ppermuted halo layer per side (the outputs of
-    ``parallel.domain*._halo_channels*``/``_exchange_halos_channels``);
-    axes not in ``ext`` are periodic in-brick and wrap pads are added here.
-    Required keys: x,y,z,vx,vy,vz,h,tag,valid (+typ when n_types>1, +EX*
-    when n_excl>0). Halo coordinates may be raw or wrap-pre-shifted — the
-    kernel min-images every axis against the GLOBAL box. Right-spill
-    packing is not supported under DD (halo reach is one column).
-
-    Returns (f (local nr, 3), virial).
+    ``chans``: list of (ny_e, nz_e, K, nx_e) float planes; axes named in
+    ``ext`` arrive extended by ``xr`` halo layers per side (x) / one layer
+    (y, z); other axes are periodic in-brick and wrap pads are added here.
     """
     if interpret is None:
         interpret = os.environ.get("MESO_PALLAS_INTERPRET") == "1"
-    if cfg.spill:
-        raise NotImplementedError("distributed fused kernel: spill layout "
-                                  "needs 2-column halos (pending)")
     nx, ny, nz = cfg.ncell
     k = cfg.capacity
-    nr = ny * nz * k * nx
-    xr = 1
-    w_lane = nx + 2
+    w_lane = nx + 2 * xr
+    n_chan = len(chans)
+    planes = jnp.stack(chans)          # (C, ny_e, nz_e, k, nx_e)
+    planes = planes.transpose(0, 1, 3, 2, 4)   # (C, ny_e, k, nz_e, nx_e)
 
+    if "x" not in ext:
+        planes = jnp.concatenate(
+            [planes[..., -xr:], planes, planes[..., :xr]], axis=-1)
+    if "z" not in ext:
+        planes = jnp.concatenate(
+            [planes[..., -1:, :], planes, planes[..., :1, :]], axis=3)
+    body_z = nz + 2
+    l_lane = body_z * w_lane
+    view = planes.reshape(n_chan, planes.shape[1], 1, k, l_lane)
+    if "y" not in ext:
+        view = jnp.concatenate([view[:, -1:], view, view[:, :1]], axis=1)
+
+    # conservative dynamic j bound: the band's max occupied slot (+1)
+    # over the extended local channels
+    occ = jnp.max(jnp.where(
+        valid_plane > 0.5,
+        jnp.arange(1, k + 1, dtype=jnp.int32)[None, None, :, None], 0),
+        axis=(1, 2, 3))
+    ny_e = valid_plane.shape[0]
+    if ny_e == ny:  # y periodic in-brick
+        jmax = jnp.maximum(jnp.maximum(occ, jnp.roll(occ, 1)),
+                           jnp.roll(occ, -1))
+    else:           # y-extended: bands are consecutive rows
+        jmax = jnp.maximum(jnp.maximum(occ[:-2], occ[1:-1]), occ[2:])
+    jmax = jnp.maximum(jmax, 1).reshape(1, ny)
+
+    def band_spec(dy):
+        return pl.BlockSpec(
+            (n_chan, 1, 1, k, l_lane),
+            index_map=lambda cy, cb: (0, cy + dy, cb, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec(scal.shape, lambda cy, cb: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2), lambda cy, cb: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(tab.shape, lambda cy, cb: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, ny), lambda cy, cb: (0, 0),
+                     memory_space=pltpu.SMEM),
+        band_spec(0), band_spec(1), band_spec(2),
+    ]
+
+    out = pl.pallas_call(
+        partial(_fused_kernel, k=k, w_lane=w_lane, l_lane=l_lane,
+                rng_mode=rng_mode, rng_rounds=rng_rounds, n_chan=n_chan,
+                n_types=n_types, typ_chan=typ_chan, tag_chan=tag_chan,
+                n_excl=n_excl, ex_chan=ex_chan, s_exp=s_exp, xr=xr,
+                model=model, ns=ns, mc_chan=mc_chan, n_out=n_out),
+        grid=(ny, 1),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (n_out, 1, 1, k, l_lane),
+            index_map=lambda cy, cb: (0, cy, cb, 0, 0),
+            memory_space=pltpu.VMEM),
+        # vma: always called inside shard_map; the output varies over the
+        # decomposition axes (check_vma needs it explicit)
+        out_shape=jax.ShapeDtypeStruct((n_out, ny, 1, k, l_lane),
+                                       jnp.float32, vma=frozenset(vma)),
+        scratch_shapes=[pltpu.VMEM((3, n_chan, k, l_lane), jnp.float32)],
+        interpret=interpret,
+    )(scal, iscal, tab, jmax, view, view, view)
+
+    out = out.reshape(n_out, ny, 1, k, body_z, w_lane)[..., xr:-xr]
+    out = out[..., 1:-1, :]
+    return out.transpose(0, 1, 2, 4, 3, 5).reshape(n_out, ny, nz, k, nx)
+
+
+def _halo_base_chans(channels, rng_mode, n_types, n_excl):
     bc = lambda a: jax.lax.bitcast_convert_type(a.astype(jnp.int32),
                                                 jnp.float32)
     chans = [channels["x"], channels["y"], channels["z"], channels["vx"],
@@ -529,22 +581,44 @@ def halo_forces_pallas_fused(channels: dict, box: Box, step: Array,
         ex_chan = len(chans)
         for e in range(n_excl):
             chans.append(bc(channels[f"EX{e}"]))
-    n_chan = len(chans)
-    planes = jnp.stack(chans)          # (C, ny_e, nz_e, k, nx_e)
-    planes = planes.transpose(0, 1, 3, 2, 4)   # (C, ny_e, k, nz_e, nx_e)
+    return chans, typ_chan, tag_chan, ex_chan
 
-    if "x" not in ext:
-        planes = jnp.concatenate(
-            [planes[..., -1:], planes, planes[..., :1]], axis=-1)
-    if "z" not in ext:
-        planes = jnp.concatenate(
-            [planes[..., -1:, :], planes, planes[..., :1, :]], axis=3)
-    body_z = nz + 2
-    l_lane = body_z * w_lane
-    view = planes.reshape(n_chan, planes.shape[1], 1, k, l_lane)
-    if "y" not in ext:
-        view = jnp.concatenate([view[:, -1:], view, view[:, :1]], axis=1)
 
+@partial(jax.jit, static_argnames=("dt", "cfg", "ext", "rng_mode",
+                                   "rng_rounds", "interpret", "s_exp",
+                                   "n_types", "n_excl", "vma"))
+def halo_forces_pallas_fused(channels: dict, box: Box, step: Array,
+                             params: DPDParams, dt: float, cfg: CellConfig,
+                             ext: tuple = ("x",), rng_mode: str = "fast",
+                             rng_rounds: int = 8,
+                             interpret: bool | None = None,
+                             s_exp: float = 1.0, n_types: int = 1,
+                             n_excl: int = 0, vma: tuple = ("x",)):
+    """Fused-lane kernel over a halo-EXTENDED local brick — the multi-chip
+    hot path for 1-D/2-D/3-D spatial decomposition (SURVEY §2c row 1).
+
+    ``channels``: dict of (ny_e, nz_e, K, nx_e) planes; each axis named in
+    ``ext`` is extended by ppermuted halo layers (the outputs of
+    ``parallel.domain*._halo_channels*``/``_exchange_halos_channels``) —
+    ONE layer per side, except x under the right-spill layout, which needs
+    TWO columns per side (slot-cell may exceed true cell by one; VERDICT
+    r3 item 3). Axes not in ``ext`` are periodic in-brick and wrap pads
+    are added here. Required keys: x,y,z,vx,vy,vz,h,tag,valid (+typ when
+    n_types>1, +EX* when n_excl>0). Halo coordinates may be raw or
+    wrap-pre-shifted — the kernel min-images every axis against the
+    GLOBAL box.
+
+    Returns (f (local nr, 3), virial).
+    """
+    nx, ny, nz = cfg.ncell
+    nr = ny * nz * cfg.capacity * nx
+    xr = 2 if cfg.spill else 1
+    if cfg.spill and "x" not in ext:
+        raise NotImplementedError(
+            "spill layout under DD requires the x axis to be halo-extended "
+            "(1-D slabs / x-decomposed bricks)")
+    chans, typ_chan, tag_chan, ex_chan = _halo_base_chans(
+        channels, rng_mode, n_types, n_excl)
     dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
     lens = box.lengths
     scal = jnp.stack([
@@ -562,63 +636,90 @@ def halo_forces_pallas_fused(channels: dict, box: Box, step: Array,
                          params.rc.reshape(-1)])
     else:
         tab = jnp.zeros((4, 1), jnp.float32)
-
-    # conservative dynamic j bound: the band's max occupied slot (+1)
-    # over the extended local channels
-    occ = jnp.max(jnp.where(
-        channels["valid"] > 0.5,
-        jnp.arange(1, k + 1, dtype=jnp.int32)[None, None, :, None], 0),
-        axis=(1, 2, 3))
-    ny_e = channels["valid"].shape[0]
-    if ny_e == ny:  # y periodic in-brick
-        jmax = jnp.maximum(jnp.maximum(occ, jnp.roll(occ, 1)),
-                           jnp.roll(occ, -1))
-    else:           # y-extended: bands are consecutive rows
-        jmax = jnp.maximum(jnp.maximum(occ[:-2], occ[1:-1]), occ[2:])
-    jmax = jnp.maximum(jmax, 1).reshape(1, ny)
-
-    def band_spec(dy):
-        return pl.BlockSpec(
-            (n_chan, 1, 1, k, l_lane),
-            index_map=lambda cy, cb: (0, cy + dy, cb, 0, 0),
-            memory_space=pltpu.VMEM)
-
-    in_specs = [
-        pl.BlockSpec((1, 12), lambda cy, cb: (0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 2), lambda cy, cb: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec(tab.shape, lambda cy, cb: (0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, ny), lambda cy, cb: (0, 0),
-                     memory_space=pltpu.SMEM),
-        band_spec(0), band_spec(1), band_spec(2),
-    ]
-
-    out = pl.pallas_call(
-        partial(_fused_kernel, k=k, w_lane=w_lane, l_lane=l_lane,
-                rng_mode=rng_mode, rng_rounds=rng_rounds, n_chan=n_chan,
-                n_types=n_types, typ_chan=typ_chan, tag_chan=tag_chan,
-                n_excl=n_excl, ex_chan=ex_chan, s_exp=s_exp, xr=xr),
-        grid=(ny, 1),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (4, 1, 1, k, l_lane),
-            index_map=lambda cy, cb: (0, cy, cb, 0, 0),
-            memory_space=pltpu.VMEM),
-        # vma: always called inside shard_map; the output varies over the
-        # decomposition axes (check_vma needs it explicit)
-        out_shape=jax.ShapeDtypeStruct((4, ny, 1, k, l_lane), jnp.float32,
-                                       vma=frozenset(vma)),
-        scratch_shapes=[pltpu.VMEM((3, n_chan, k, l_lane), jnp.float32)],
-        interpret=interpret,
-    )(scal, iscal, tab, jmax, view, view, view)
-
-    out = out.reshape(4, ny, 1, k, body_z, w_lane)[..., 1:-1]
-    out = out[..., 1:-1, :]
-    out = out.transpose(0, 1, 2, 4, 3, 5).reshape(4, ny, nz, k, nx)
+    out = _halo_call(chans, scal, iscal, tab, cfg, ext, rng_mode,
+                     rng_rounds, interpret, s_exp, n_types, typ_chan,
+                     tag_chan, n_excl, ex_chan, vma, channels["valid"], xr)
     f = jnp.stack([out[0].reshape(nr), out[1].reshape(nr),
-                   out[2].reshape(nr)], axis=-1)
+                   out[2].reshape(nr)], -1)
     return f, jnp.sum(out[3])
+
+
+@partial(jax.jit, static_argnames=("dt", "cfg", "ext", "rng_mode",
+                                   "rng_rounds", "interpret", "n_types",
+                                   "vma", "model", "ns"))
+def halo_forces_pallas_model_fused(channels: dict, box: Box, step: Array,
+                                   params, dt: float, cfg: CellConfig,
+                                   model: str = "edpd", ns: int = 0,
+                                   ext: tuple = ("x",),
+                                   rng_mode: str = "fast",
+                                   rng_rounds: int = 8,
+                                   interpret: bool | None = None,
+                                   n_types: int = 1, vma: tuple = ("x",)):
+    """eDPD/tDPD fused kernel over a halo-extended brick (VERDICT r3
+    item 3: the distributed multiphysics hot path — previously sweep-only).
+
+    ``channels`` additionally carries "T" (edpd) or "C0".."C{ns-1}" (tdpd).
+    Returns (f, extra, virial): extra = dTdt (already / cv) or dCdt.
+    """
+    nx, ny, nz = cfg.ncell
+    nr = ny * nz * cfg.capacity * nx
+    xr = 2 if cfg.spill else 1
+    if cfg.spill and "x" not in ext:
+        raise NotImplementedError(
+            "spill layout under DD requires the x axis to be halo-extended")
+    chans, typ_chan, tag_chan, _ = _halo_base_chans(
+        channels, "tea", n_types, 0)   # models always carry the tag channel
+    mc_chan = len(chans)
+    if model == "edpd":
+        chans.append(channels["T"])
+        n_out = 5
+    else:
+        for sp in range(ns):
+            chans.append(channels[f"C{sp}"])
+        n_out = 4 + ns
+    dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
+    lens = box.lengths
+    if model == "edpd":
+        scal = jnp.stack([
+            params.a[0, 0], params.gamma[0, 0], jnp.float32(0.0),
+            params.rc[0, 0], lens[0], lens[1], lens[2],
+            1.0 / lens[0], 1.0 / lens[1], 1.0 / lens[2],
+            jnp.float32(1.0), dt_inv_sqrt,
+            params.kappa[0, 0], jnp.float32(1.0 / params.mass),
+            jnp.float32(0), jnp.float32(0)]).reshape(1, 16)
+        tab_sig = params.kappa
+    else:
+        per_species = []
+        for sp in range(ns):
+            per_species += [params.kappa_c[sp], params.eps_c[sp]]
+        scal = jnp.concatenate([jnp.stack([
+            params.a[0, 0], params.gamma[0, 0],
+            params.sigma[0, 0] * dt_inv_sqrt,
+            params.rc[0, 0], lens[0], lens[1], lens[2],
+            1.0 / lens[0], 1.0 / lens[1], 1.0 / lens[2],
+            jnp.float32(1.0), dt_inv_sqrt,
+            params.rcc, params.s1]),
+            jnp.stack(per_species).astype(jnp.float32)]).reshape(1, -1)
+        tab_sig = params.sigma * dt_inv_sqrt
+    iscal = jnp.stack([jnp.asarray(step, jnp.int32),
+                       params.seed.astype(jnp.int32)]).reshape(1, 2)
+    if n_types > 1:
+        tab = jnp.stack([params.a.reshape(-1), params.gamma.reshape(-1),
+                         tab_sig.reshape(-1), params.rc.reshape(-1)])
+    else:
+        tab = jnp.zeros((4, 1), jnp.float32)
+    out = _halo_call(chans, scal, iscal, tab, cfg, ext, rng_mode,
+                     rng_rounds, interpret, 1.0, n_types, typ_chan,
+                     tag_chan, 0, -1, vma, channels["valid"], xr,
+                     model=model, ns=ns, mc_chan=mc_chan, n_out=n_out)
+    f = jnp.stack([out[0].reshape(nr), out[1].reshape(nr),
+                   out[2].reshape(nr)], -1)
+    if model == "edpd":
+        return f, out[4].reshape(nr) / params.cv, jnp.sum(out[3])
+    dcdt = jnp.stack([out[4 + sp].reshape(nr) for sp in range(ns)], -1)
+    return f, dcdt, jnp.sum(out[3])
+
+
 
 
 def _model_call(chans, mc_chan, typ_chan, tag_chan, scal, tab, box, step,

@@ -105,6 +105,59 @@ def _unpack_rows(packed: Array, layout: dict, state: State) -> State:
     return State(**kw)
 
 
+def spill_assign(base: Array, cxs: Array, valid_s: Array, n_in: int,
+                 nx: int, k: int, n_rows_yz: int, wrap: bool = True):
+    """Right-spill slot assignment for cell-sorted rows (see
+    ``rebuild_buckets``): within each (cy,cz) row, linear slot
+    l = r + cummax_row(cx*K - r) places each particle at its own cell's
+    block or spills it RIGHT into the next cell's free slots.
+
+    wrap=True additionally lets the LAST cell's overflow wrap into cell 0's
+    top free slots (single-chip periodic layout). wrap=False counts it as
+    overflow instead — the domain-decomposition variant, where a brick's
+    column 0 belongs to a DIFFERENT x-window than column nx-1 and halo
+    exchange ships only boundary columns (VERDICT r3 item 3).
+
+    Returns (target_row, fits, overflow).
+    """
+    nr = n_rows_yz * k * nx
+    row_starts = jnp.searchsorted(
+        base, jnp.arange(n_rows_yz + 1, dtype=base.dtype), side="left")
+    r = jnp.arange(n_in, dtype=jnp.int32) - row_starts[
+        jnp.minimum(base, n_rows_yz)].astype(jnp.int32)
+    a = cxs.astype(jnp.int32) * k - r
+
+    def comb(left, right):
+        s1, v1 = left
+        s2, v2 = right
+        return s2, jnp.where(s1 == s2, jnp.maximum(v1, v2), v2)
+
+    _, am = jax.lax.associative_scan(comb, (base, a))
+    l_lin = r + am
+    in_row = valid_s & (l_lin < jnp.minimum((cxs + 2) * k, nx * k))
+    arange_n = jnp.arange(n_in, dtype=jnp.int32)
+    if wrap:
+        m = l_lin - nx * k
+        c0_used = jnp.zeros((n_rows_yz + 1,), jnp.int32).at[
+            jnp.minimum(base, n_rows_yz)].add(
+            (valid_s & (l_lin < k)).astype(jnp.int32))
+        wrap_ok = (valid_s & ~in_row & (cxs == nx - 1) & (m >= 0)
+                   & (m < k) & (k - 1 - m >= c0_used[
+                       jnp.minimum(base, n_rows_yz)]))
+    else:
+        wrap_ok = jnp.zeros_like(in_row)
+    fits = in_row | wrap_ok
+    overflow = jnp.sum(valid_s & ~fits)
+    cell_a = jnp.where(wrap_ok, 0, l_lin // k)
+    slot = jnp.where(wrap_ok, k - 1 - (l_lin - nx * k),
+                     l_lin - (l_lin // k) * k)
+    target = (base * k + slot) * nx + cell_a
+    # dropped rows get DISTINCT out-of-bounds targets so the scatter can
+    # honestly claim unique indices
+    target = jnp.where(fits, target, nr + arange_n)
+    return target, fits, overflow
+
+
 def rebuild_buckets(state: State, cfg: CellConfig) -> tuple[State, Array]:
     """Redistribute rows into bucket order. Input may have any row count;
     output has exactly n_rows(cfg) rows. Returns (bucket_state, overflow).
@@ -129,48 +182,10 @@ def rebuild_buckets(state: State, cfg: CellConfig) -> tuple[State, Array]:
     cxs = key_s - base * nx
 
     if cfg.spill:
-        # Right-spill assignment: within each (cy,cz) row, particles are
-        # cell-sorted; linear slot l = r + cummax_row(cx*K - r) places each
-        # particle at its own cell's block or spills it RIGHT into the next
-        # cell's free slots (segmented prefix max — one associative_scan,
-        # no extra sorts). l is strictly increasing within a row, so slots
-        # never collide; l >= (cx+2)K means a w-cell window exceeded
-        # (w+1)K particles — counted overflow (checked invariant).
-        n_rows_yz = ny * nz
-        row_starts = jnp.searchsorted(
-            base, jnp.arange(n_rows_yz + 1, dtype=base.dtype), side="left")
-        r = jnp.arange(n_in, dtype=jnp.int32) - row_starts[
-            jnp.minimum(base, n_rows_yz)].astype(jnp.int32)
-        a = cxs.astype(jnp.int32) * k - r
-
-        def comb(left, right):
-            s1, v1 = left
-            s2, v2 = right
-            return s2, jnp.where(s1 == s2, jnp.maximum(v1, v2), v2)
-
-        _, am = jax.lax.associative_scan(comb, (base, a))
-        l_lin = r + am
-        in_row = valid_s & (l_lin < jnp.minimum((cxs + 2) * k, nx * k))
-        arange_n = jnp.arange(n_in, dtype=jnp.int32)
-        # the LAST cell cannot spill right in-row: wrap its overflow into
-        # cell 0's top free slots (the kernel's circular +-2 window plus
-        # the wrap pad columns cover wrap spillers on both sides)
-        m = l_lin - nx * k
-        c0_used = jnp.zeros((n_rows_yz + 1,), jnp.int32).at[
-            jnp.minimum(base, n_rows_yz)].add(
-            (valid_s & (l_lin < k)).astype(jnp.int32))
-        wrap_ok = (valid_s & ~in_row & (cxs == nx - 1) & (m >= 0)
-                   & (m < k) & (k - 1 - m >= c0_used[
-                       jnp.minimum(base, n_rows_yz)]))
-        fits = in_row | wrap_ok
-        overflow = jnp.sum(valid_s & ~fits)
-        cell_a = jnp.where(wrap_ok, 0, l_lin // k)
-        slot = jnp.where(wrap_ok, k - 1 - m, l_lin - (l_lin // k) * k)
-        target = (base * k + slot) * nx + cell_a
-        # dropped rows get DISTINCT out-of-bounds targets so the scatter can
-        # honestly claim unique indices (a large fast-path win on this
-        # backend: the padded-row scatter dominates the rebuild otherwise)
-        target = jnp.where(fits, target, nr + arange_n)
+        # Right-spill assignment (segmented prefix max — one
+        # associative_scan, no extra sorts); see ``spill_assign``.
+        target, fits, overflow = spill_assign(
+            base, cxs, valid_s, n_in, nx, k, ny * nz, wrap=True)
     else:
         # rank within cell (strict buckets)
         n_cells = nx * ny * nz

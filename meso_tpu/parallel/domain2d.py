@@ -69,6 +69,10 @@ def build_domain2d(system: System, nx_dev: int, ny_dev: int, lx: float,
     ncx_l, ncy_l = ncx // nx_dev, ncy // ny_dev
     if ncx_l < 3 or ncy_l < 3:
         raise ValueError("bricks need >= 3 cell columns per device per axis")
+    if bool(getattr(g, "spill", False)):
+        raise NotImplementedError(
+            "spill layout is supported under 1-D DD only (2-column x halos);\n"
+            "build the system with spill=False for 2-D/3-D bricks")
     local = CellConfig(ncell=(ncx_l, ncy_l, ncz), capacity=g.capacity,
                        skin=g.skin, rebuild_every=g.rebuild_every)
     if cap_mig is None:

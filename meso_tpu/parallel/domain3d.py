@@ -76,6 +76,10 @@ def build_domain3d(system: System, nx_dev: int, ny_dev: int, nz_dev: int,
     ncx_l, ncy_l, ncz_l = ncx // nx_dev, ncy // ny_dev, ncz // nz_dev
     if min(ncx_l, ncy_l, ncz_l) < 3:
         raise ValueError("bricks need >= 3 cell columns per device per axis")
+    if bool(getattr(g, "spill", False)):
+        raise NotImplementedError(
+            "spill layout is supported under 1-D DD only (2-column x halos);\n"
+            "build the system with spill=False for 2-D/3-D bricks")
     local = CellConfig(ncell=(ncx_l, ncy_l, ncz_l), capacity=g.capacity,
                        skin=g.skin, rebuild_every=g.rebuild_every)
     if cap_mig is None:
