@@ -34,9 +34,11 @@ def run_config(l, path, skin, every, nsteps, equil=399):
     from meso_tpu.obs import kinetic_temperature
 
     rng_mode = os.environ.get("MESO_BENCH_RNG", "fast")
+    kernel = os.environ.get("MESO_BENCH_KERNEL", "v2")
+    rengine = os.environ.get("MESO_BENCH_REBUILD_ENGINE", "gather")
     system, params, state = classic_fluid(
         l=l, rebuild_every=every, skin=skin, rng_mode=rng_mode,
-        force_path=path)
+        force_path=path, pair_kernel=kernel, rebuild=rengine)
     n = int(state.n_valid())
     fused = path in ("pallas", "bucket")
 
@@ -70,6 +72,8 @@ def run_config(l, path, skin, every, nsteps, equil=399):
         "kT": round(kt, 4),
         "kT_err": round(abs(kt - 1.0), 4),
         "force_path": path,
+        "pair_kernel": kernel,
+        "rebuild_engine": rengine,
         "rng_mode": rng_mode,
         "device": str(jax.devices()[0]),
         # launch-shape knobs in effect (SURVEY 2b row 29)

@@ -71,7 +71,8 @@ def main(argv=None):
             return 1
         from meso_tpu.utils.autotune import autotune_fluid
 
-        def make_system(skin, every, spill=None, z_chunks=None):
+        def make_system(skin, every, spill=None, z_chunks=None,
+                        pair_kernel=None, rebuild=None, capacity=None):
             import dataclasses as _dc
             d = dict(deck)
             neigh = dict(d.get("neighbor", {}))
@@ -87,18 +88,26 @@ def main(argv=None):
                 d["model"]["args"] = dict(d["model"].get("args", {}))
                 d["model"]["args"]["skin"] = skin
             sy, _, _, _ = build_from_deck(d)
-            sy = sy.replace(cells=_dc.replace(sy.cells,
-                                              rebuild_every=every))
+            cell_kw = {"rebuild_every": every}
+            if rebuild is not None:
+                cell_kw["rebuild"] = rebuild
+            if capacity is not None:
+                cell_kw["capacity"] = capacity
+            sy = sy.replace(cells=_dc.replace(sy.cells, **cell_kw))
             if z_chunks is not None:
                 sy = sy.replace(z_chunks=z_chunks)
+            if pair_kernel is not None:
+                sy = sy.replace(pair_kernel=pair_kernel)
             return sy
 
-        print("autotuning (skin, rebuild_every, spill, z_chunks):",
-              flush=True)
+        print("autotuning (skin, cadence, spill, z_chunks, kernel, "
+              "rebuild, K):", flush=True)
         best, _ = autotune_fluid(make_system, params, state,
                                  tune_kernel=system.force_path == "pallas")
         system = make_system(best.skin, best.rebuild_every,
-                             spill=best.spill, z_chunks=best.z_chunks)
+                             spill=best.spill, z_chunks=best.z_chunks,
+                             pair_kernel=best.pair_kernel,
+                             rebuild=best.rebuild, capacity=best.capacity)
         from meso_tpu.core.system import setup as _setup
         state = _setup(system, params, state)
     logger = ThermoLogger(every=run_cfg.thermo_every, jsonl_path=args.log)

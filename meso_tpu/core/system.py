@@ -77,6 +77,12 @@ class System:
     #                               no transcendentals); must match params
     z_chunks: int = 0             # fused-kernel z-chunk split (0 = auto
     #                               from the VMEM budget; autotunable)
+    pair_kernel: str = "v2"       # classic-DPD pallas kernel generation:
+    #                               "v2" (r2 fused-lane) | "v3" (Newton
+    #                               fused-lane, VERDICT r3 item 1) |
+    #                               "v3_dynroll" (v3 with traced-offset
+    #                               rolls; device support probed by
+    #                               tools/toy_dynroll.py)
     bf16_v: bool = False          # EXPERIMENTAL bf16 velocity channels in
     #                               the fused kernel (row 31). Interpret
     #                               mode exact (~3e-4 rel); the current
@@ -100,11 +106,13 @@ class System:
     @staticmethod
     def for_fluid(box_lengths, rc: float, density: float, dt: float = 0.01,
                   skin: float = 0.3, rebuild_every: int = 10,
-                  spill: bool = False, **kw) -> "System":
+                  spill: bool = False, rebuild: str = "gather",
+                  **kw) -> "System":
         """Convenience constructor sizing cells and list capacity from density."""
         from meso_tpu.neighbor.nlist import neighbor_capacity
         cfg = CellConfig.for_box(box_lengths, rc, density, skin=skin,
-                                 rebuild_every=rebuild_every, spill=spill)
+                                 rebuild_every=rebuild_every, spill=spill,
+                                 rebuild=rebuild)
         m = neighbor_capacity(density, rc, skin)
         return System(dt=dt, force_path="nlist", cells=cfg, nlist_m=m,
                       rc_max=rc, **kw)
@@ -122,6 +130,18 @@ def compute_forces(system: System, params: SystemParams, state: State,
                    t=None, c=None):
     """Dispatch to the configured model + force path. Returns (f, aux dict);
     aux carries 'virial' and, per model, 'dTdt' / 'dCdt'."""
+    if (system.force_path == "pallas" and system.cells is not None
+            and system.cells.spill and system.rng_mode == "tea"
+            and not (system.model == "dpd"
+                     and system.pair_kernel.startswith("v3"))):
+        # KNOWN ISSUE (r2): spill + TEA miscompiles on this device
+        # toolchain (rel ~1.2 vs dense; fast tier and interpret are exact).
+        # Guard covers ALL fused-kernel models (classic/eDPD/tDPD) — the
+        # eDPD/tDPD fused routes hit the same kernel (ADVICE r2).
+        raise ValueError(
+            "spill layout with rng_mode='tea' is disabled (device "
+            "toolchain miscompile; see PERF_NOTES.md) — build the "
+            "system with spill=False for the tea tier")
     if system.model == "edpd":
         if system.force_path == "dense":
             from meso_tpu.ops.edpd import dense_forces_edpd as efn
@@ -202,16 +222,18 @@ def compute_forces(system: System, params: SystemParams, state: State,
             rng_mode=system.rng_mode, rng_rounds=system.rng_rounds)
         return f, {"virial": virial}
     if system.force_path == "pallas":
-        if system.cells.spill and system.rng_mode == "tea":
-            # KNOWN ISSUE (r2): spill + TEA miscompiles on this device
-            # toolchain (rel ~1.2 vs dense; fast tier and interpret are
-            # exact). The sweep cannot read a spill layout (slot-cell may
-            # differ from true cell), so the only safe combination is
-            # strict buckets + sweep: builders default spill off for tea.
-            raise ValueError(
-                "spill layout with rng_mode='tea' is disabled (device "
-                "toolchain miscompile; see PERF_NOTES.md) — build the "
-                "system with spill=False for the tea tier")
+        if system.pair_kernel.startswith("v3"):
+            # Newton fused-lane kernel (VERDICT r3 item 1). Runs both
+            # strict and spill layouts; strict small shapes are not routed
+            # here (v3 is a different program — device suite validates it)
+            from meso_tpu.kernels.pair_dpd_v3 import bucket_forces_pallas_v3
+            f, virial = bucket_forces_pallas_v3(
+                x, v, state.typ, state.tag, state.mask, state.box, step,
+                params.pair, system.dt, system.cells,
+                rng_mode=system.rng_mode, rng_rounds=system.rng_rounds,
+                s_exp=system.s_exp, z_chunks=system.z_chunks,
+                dyn_roll=system.pair_kernel == "v3_dynroll")
+            return f, {"virial": virial}
         if not system.cells.spill:
             # KNOWN ISSUE (r2, 2026-08-16): the compiled strict-bucket
             # fused kernel miscomputes on some small shapes (observed at

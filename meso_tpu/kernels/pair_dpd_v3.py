@@ -1,0 +1,523 @@
+"""Newton fused-lane Pallas DPD pair kernel — the single-chip hot path, v3.
+
+Third-generation redesign of the reference's hottest CUDA kernel
+(``pair_dpd_meso.cu``, SURVEY.md §2b rows 20-21, §3.3), built from the
+round-2 fused-lane kernel (``pair_dpd_fused.py``) after the r2 verdict
+quantified a ~45x pair-candidate waste. What changes (VERDICT r3 item 1):
+
+* **Newton's third law** (the reference's half-list analog): each unordered
+  pair is enumerated ONCE and both sides are accumulated. Grid step cy
+  pairs its row against itself (half offset set) and against row cy+1
+  (full offset set); reactions are accumulated into a second output plane
+  that the XLA epilogue rolls one row down. ~2x fewer candidates.
+* **Static source groups**: source slots are read as aligned (8, L) blocks
+  with the 8 rows unrolled statically — no per-row dynamic sublane reads
+  and ~13x fewer loop dispatches than v2 (the measured v2 overhead).
+  Groups beyond a band's occupancy bound are skipped whole (lax.cond).
+* **Per-(row, z-chunk) occupancy bounds** (jm tables) instead of v2's
+  per-3-row-band bound.
+* **Per-lane cutoff row**: pad target lanes carry rc^2 = -1, so the pad
+  mask rides the cutoff compare with zero extra ops (single-type path).
+* ``dyn_roll``: lane rolls by a *traced* offset read from an SMEM table
+  (one pltpu.roll) instead of unrolled static-roll offsets. Device
+  toolchain support is probed by tools/toy_dynroll.py before use.
+
+Enumeration completeness (why each pair is counted exactly once): lanes
+fuse (cz, cx) with circular x wrap-pads, so the half offset set
+{dz=+1, any dx} + {dz=0, dx>0} + {(0,0) with slot_i < slot_j} covers every
+same-row pair once; the full set vs row cy+1 covers every cross-row pair
+once; a pair whose enumeration direction would start from a pad lane is
+instead counted at the real twin lane (the padded lane structure is
+periodic), and reactions that land ON pad lanes are harvested onto their
+twins by the XLA epilogue.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from meso_tpu.core import rng as rngmod
+from meso_tpu.core.box import Box
+from meso_tpu.neighbor.cells import CellConfig
+from meso_tpu.ops.dpd import DPDParams
+
+Array = jax.Array
+
+# channel indices in the stacked plane tensor
+_SX, _SY, _SZ, _VX, _VY, _VZ, _H, _VALID = range(8)
+
+
+def _groups(k: int):
+    """Aligned (start, first_row) 8-row source groups covering slots [0,k).
+
+    Groups start at multiples of 8; a non-multiple-of-8 k gets a final
+    group anchored at k-8 whose overlap rows are statically skipped.
+    first_row = index (0..7) of the first NON-overlapping row in the group.
+    """
+    if k < 8:
+        raise ValueError("v3 kernel requires capacity K >= 8")
+    starts = list(range(0, k - 7, 8))
+    if starts[-1] + 8 < k:
+        starts.append(k - 8)
+    out = []
+    prev_end = 0
+    for s in starts:
+        out.append((s, max(0, prev_end - s)))
+        prev_end = s + 8
+    return out
+
+
+def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
+               rng_rounds: int, n_chan: int, n_types: int, typ_chan: int,
+               tag_chan: int, n_excl: int, ex_chan: int, s_exp: float,
+               xr: int, dyn_roll: bool):
+    """One grid step = one (cy row, z-chunk).
+
+    Inputs: scal, iscal, tab, jm, offs (SMEM); rc2lane (VMEM (1, L));
+    mid band block, down band block (VMEM (C, 1, 1, K, L)).
+    Output: (4, 2, 1, 1, K, L) — [:, 0] = contributions to row cy,
+    [:, 1] = reactions onto row cy+1 (rolled down by the epilogue).
+    """
+    (scal_ref, iscal_ref, tab_ref, jm_ref, offs_ref, rc2_ref, b_mid,
+     b_down, out_ref) = refs
+    a = scal_ref[0, 0]
+    gamma = scal_ref[0, 1]
+    sigma_dt = scal_ref[0, 2]     # sigma / sqrt(dt), pre-folded
+    rc = scal_ref[0, 3]
+    lx = scal_ref[0, 4]
+    ly = scal_ref[0, 5]
+    lz = scal_ref[0, 6]
+    inv_lx = scal_ref[0, 7]
+    inv_ly = scal_ref[0, 8]
+    inv_lz = scal_ref[0, 9]
+    excl_w = scal_ref[0, 10]
+    if rng_mode == "tea":
+        step_u = iscal_ref[0, 0].astype(jnp.uint32)
+        seed_u = iscal_ref[0, 1].astype(jnp.uint32)
+
+    cy = pl.program_id(0)
+    cb = pl.program_id(1)
+    jm_mid = jm_ref[0, cy * pl.num_programs(1) + cb]
+    jm_down = jm_ref[1, cy * pl.num_programs(1) + cb]
+
+    rc2lane = rc2_ref[:]                      # (1, L): rc^2, -1 on pads
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (k, l_lane), 0)
+
+    # lane offsets (dz * w_lane + dx); (0,0) handled by center_pass
+    mid_half = ([dx for dx in range(1, xr + 1)]
+                + [w_lane + dx for dx in range(-xr, xr + 1)])
+    down_full = [dz * w_lane + dx for dz in (-1, 0, 1)
+                 for dx in range(-xr, xr + 1)]
+    # SMEM table layout: [mid_half..., down_full...]
+    mid_base, down_base = 0, len(mid_half)
+
+    def selfc(c):  # (k, L)
+        return b_mid[c, 0, 0]
+
+    def roll_fwd(blocks, off):
+        """Roll each (8, L) block so lane t reads source lane t+off."""
+        if isinstance(off, int):
+            if off == 0:
+                return blocks
+            return tuple(pltpu.roll(p, (-off) % l_lane, 1) for p in blocks)
+        sh = jnp.remainder(-off, jnp.int32(l_lane))
+        return tuple(pltpu.roll(p, sh, 1) for p in blocks)
+
+    def roll_back(block, off):
+        """Inverse of roll_fwd for the reaction block."""
+        if isinstance(off, int):
+            if off == 0:
+                return block
+            return pltpu.roll(block, off % l_lane, 1)
+        return pltpu.roll(block, jnp.remainder(off, jnp.int32(l_lane)), 1)
+
+    def pair_rows(rows, r, center_j=None):
+        """Force of the full (k, L) self tile against source row r of the
+        rolled (8, L) channel blocks. Returns (dfx, dfy, dfz, dvir) plus
+        (rfx, rfy, rfz) — the (1, L) reaction row (sum over targets)."""
+        row = tuple(p[r:r + 1, :] for p in rows)          # (1, L) each
+        if n_types > 1:
+            code = selfc(typ_chan) * jnp.float32(n_types) + row[typ_chan]
+            a_ij = tab_ref[0, 0]
+            g_ij = tab_ref[1, 0]
+            s_ij = tab_ref[2, 0]
+            rc_ij = tab_ref[3, 0]
+            for p_i in range(1, n_types * n_types):
+                sel = code == jnp.float32(p_i)
+                a_ij = jnp.where(sel, tab_ref[0, p_i], a_ij)
+                g_ij = jnp.where(sel, tab_ref[1, p_i], g_ij)
+                s_ij = jnp.where(sel, tab_ref[2, p_i], s_ij)
+                rc_ij = jnp.where(sel, tab_ref[3, p_i], rc_ij)
+        else:
+            a_ij, g_ij, s_ij, rc_ij = a, gamma, sigma_dt, rc
+
+        # minimum image on ALL axes (mid-window global wrap, PERF_NOTES.md)
+        drx = selfc(_SX) - row[_SX]
+        drx = drx - jnp.round(drx * inv_lx) * lx
+        dry = selfc(_SY) - row[_SY]
+        dry = dry - jnp.round(dry * inv_ly) * ly
+        drz = selfc(_SZ) - row[_SZ]
+        drz = drz - jnp.round(drz * inv_lz) * lz
+        r2 = drx * drx + dry * dry + drz * drz
+        if n_types > 1:
+            ok = (r2 < rc_ij * rc_ij) & (rc2lane > 0.0)
+        else:
+            # pad-lane mask rides the cutoff compare (rc2lane = -1 on pads)
+            ok = r2 < rc2lane
+        ok = ok & (selfc(_VALID) * row[_VALID] > 0.5) & (r2 > 0.0)
+        if center_j is not None:
+            # (0,0) same-column Newton rule: only slots above the source
+            ok = ok & (s_iota < center_j)
+        r2s = jnp.where(ok, r2, 1.0)
+        rinv = jax.lax.rsqrt(r2s)
+        rr = r2s * rinv
+        w = 1.0 - rr / rc_ij
+        if s_exp == 1.0:
+            wr = w
+        else:
+            wr = jnp.power(jnp.maximum(w, 0.0), jnp.float32(s_exp))
+        dvx = selfc(_VX) - row[_VX]
+        dvy = selfc(_VY) - row[_VY]
+        dvz = selfc(_VZ) - row[_VZ]
+        ev = (drx * dvx + dry * dvy + drz * dvz) * rinv
+        if rng_mode == "tea":
+            tgs = pltpu.bitcast(selfc(tag_chan), jnp.int32)
+            tgj = pltpu.bitcast(row[tag_chan], jnp.int32)
+            lo = jnp.minimum(tgs, tgj).astype(jnp.uint32)
+            hi = jnp.maximum(tgs, tgj).astype(jnp.uint32)
+            v0, _ = rngmod.tea(lo, hi, step_u, seed_u, rounds=rng_rounds)
+            theta = rngmod._u32_to_symmetric_uniform(v0)
+        else:
+            hs = pltpu.bitcast(selfc(_H), jnp.uint32)
+            hj = pltpu.bitcast(row[_H], jnp.uint32)
+            theta = rngmod.pair_uniform_fast(hs, hj)
+        fmag = a_ij * w - g_ij * (wr * wr) * ev + s_ij * wr * theta
+        fmag = jnp.where(ok, fmag, 0.0)
+        if n_excl:
+            tgj_x = pltpu.bitcast(row[tag_chan], jnp.int32)
+            hit = pltpu.bitcast(selfc(ex_chan), jnp.int32) == tgj_x
+            for e in range(1, n_excl):
+                hit = hit | (pltpu.bitcast(selfc(ex_chan + e),
+                                           jnp.int32) == tgj_x)
+            fmag = fmag * jnp.where(hit, excl_w, 1.0)
+        fr = fmag * rinv
+        dfx = fr * drx
+        dfy = fr * dry
+        dfz = fr * drz
+        # Newton: pair visited once — full virial on the target side
+        dvir = fmag * rr
+        rfx = jnp.sum(dfx, axis=0, keepdims=True)
+        rfy = jnp.sum(dfy, axis=0, keepdims=True)
+        rfz = jnp.sum(dfz, axis=0, keepdims=True)
+        return dfx, dfy, dfz, dvir, rfx, rfy, rfz
+
+    zero = jnp.zeros((k, l_lane), jnp.float32)
+    groups = _groups(k)
+
+    def read_group(band_ref, g0):
+        return tuple(band_ref[c, 0, 0, g0:g0 + 8, :] for c in range(n_chan))
+
+    def place_block(gblk, g0):
+        """Embed a (8, L) block at sublanes [g0, g0+8) of a (k, L) zero."""
+        parts = []
+        if g0:
+            parts.append(jnp.zeros((g0, l_lane), jnp.float32))
+        parts.append(gblk)
+        if k - g0 - 8:
+            parts.append(jnp.zeros((k - g0 - 8, l_lane), jnp.float32))
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else gblk
+
+    def run_rows(rows, off, acc, g0, r0, center=False):
+        """All 8 (or fewer) source rows of one rolled group vs the tile."""
+        fx, fy, fz, vir, bx, by, bz = acc
+        rxs, rys, rzs = [], [], []
+        r_first = r0 if not center else max(r0, 1 - g0)
+        for r in range(8):
+            if r < r_first:
+                z = jnp.zeros((1, l_lane), jnp.float32)
+                rxs.append(z), rys.append(z), rzs.append(z)
+                continue
+            dfx, dfy, dfz, dvir, rfx, rfy, rfz = pair_rows(
+                rows, r, center_j=(g0 + r) if center else None)
+            fx = fx + dfx
+            fy = fy + dfy
+            fz = fz + dfz
+            vir = vir + dvir
+            rxs.append(rfx), rys.append(rfy), rzs.append(rfz)
+        gx = jnp.concatenate(rxs, axis=0)
+        gy = jnp.concatenate(rys, axis=0)
+        gz = jnp.concatenate(rzs, axis=0)
+        bx = bx - place_block(roll_back(gx, off), g0)
+        by = by - place_block(roll_back(gy, off), g0)
+        bz = bz - place_block(roll_back(gz, off), g0)
+        return fx, fy, fz, vir, bx, by, bz
+
+    def band_pass(band_ref, offs, base, jm, acc, center=False):
+        """One band over its offset list (center=True adds the (0,0)
+        same-column pass in front, valid for the mid band only)."""
+        for g0, r0 in groups:
+            def do_group(acc=acc, g0=g0, r0=r0):
+                raw = read_group(band_ref, g0)
+                if center:
+                    acc2 = run_rows(raw, 0, acc, g0, r0, center=True)
+                else:
+                    acc2 = acc
+                if dyn_roll:
+                    def obody(oi, acc3):
+                        off = offs_ref[0, base + oi]
+                        rows = roll_fwd(raw, off)
+                        return run_rows(rows, off, acc3, g0, r0)
+                    acc2 = jax.lax.fori_loop(0, len(offs), obody, acc2)
+                else:
+                    for off in offs:
+                        rows = roll_fwd(raw, off)
+                        acc2 = run_rows(rows, off, acc2, g0, r0)
+                return acc2
+
+            first_j = g0 + r0
+            if first_j == 0:
+                acc = do_group()
+            else:
+                acc = jax.lax.cond(jm > first_j, do_group, lambda: acc)
+        return acc
+
+    # accumulators: target-side fx..vir; reactions of the same-row passes
+    # fold into the same plane (they ARE row cy); down-band reactions into
+    # the second plane
+    acc = (zero, zero, zero, zero, zero, zero, zero)
+    acc = band_pass(b_mid, mid_half, mid_base, jm_mid, acc, center=True)
+    fx, fy, fz, vir, rbx, rby, rbz = acc
+    acc2 = (fx + rbx, fy + rby, fz + rbz, vir, zero, zero, zero)
+    acc2 = band_pass(b_down, down_full, down_base, jm_down, acc2)
+    fx, fy, fz, vir, dbx, dby, dbz = acc2
+
+    out_ref[0, 0, 0, 0] = fx
+    out_ref[1, 0, 0, 0] = fy
+    out_ref[2, 0, 0, 0] = fz
+    out_ref[3, 0, 0, 0] = vir
+    out_ref[0, 1, 0, 0] = dbx
+    out_ref[1, 1, 0, 0] = dby
+    out_ref[2, 1, 0, 0] = dbz
+    out_ref[3, 1, 0, 0] = zero
+
+
+def _auto_z_chunks(n_chan: int, k: int, nz: int, w_lane: int,
+                   budget_bytes: int = 9 * 2 ** 20) -> int:
+    """Smallest divisor of nz keeping the kernel VMEM footprint in budget:
+    2 band blocks + the double output block, double-buffered, plus working
+    tiles for the unrolled 8-row group body."""
+    k_phys = -(-k // 8) * 8
+    for zc in range(1, nz + 1):
+        if nz % zc:
+            continue
+        l_phys = -(-((nz // zc + (2 if zc > 1 else 0)) * w_lane) // 128) * 128
+        per_block = k_phys * l_phys * 4
+        total = (2 * 2 * n_chan + 2 * 8 + 24) * per_block
+        if total <= budget_bytes:
+            return zc
+    return nz
+
+
+@partial(jax.jit, static_argnames=("dt", "cfg", "rng_mode", "rng_rounds",
+                                   "interpret", "s_exp", "z_chunks",
+                                   "dyn_roll"))
+def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
+                            mask: Array, box: Box, step: Array,
+                            params: DPDParams, dt: float, cfg: CellConfig,
+                            rng_mode: str = "fast", rng_rounds: int = 8,
+                            interpret: bool | None = None,
+                            s_exp: float = 1.0, z_chunks: int = 0,
+                            dyn_roll: bool = False):
+    """Forces for bucket-resident rows via the Newton fused-lane kernel.
+
+    Interface matches ``bucket_forces_pallas_fused`` (its bit-reference up
+    to fp addition order). Returns (f (nr, 3), virial).
+    """
+    if interpret is None:
+        interpret = os.environ.get("MESO_PALLAS_INTERPRET") == "1"
+    nx, ny, nz = cfg.ncell
+    k = cfg.capacity
+    nr = x.shape[0]
+    xr = 2 if cfg.spill else 1
+    if nx < 2 * xr + 1:
+        raise ValueError(f"ncx={nx} too small for the +-{xr} circular "
+                         "x-window (needs ncx >= 2*xr+1)")
+    if ny < 2:
+        raise ValueError("v3 kernel needs ncy >= 2 (row-pair Newton grid)")
+    w_lane = nx + 2 * xr
+
+    h = rngmod.particle_hash(tag, step, params.seed, rounds=rng_rounds)
+    shape = (ny, nz, k, nx)
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    vmask = mask.astype(jnp.float32).reshape(shape)
+    chans = [
+        x[:, 0].reshape(shape), x[:, 1].reshape(shape), x[:, 2].reshape(shape),
+        v[:, 0].reshape(shape), v[:, 1].reshape(shape), v[:, 2].reshape(shape),
+        bc(h).reshape(shape), vmask,
+    ]
+    n_types = params.a.shape[0]
+    typ_chan = tag_chan = ex_chan = -1
+    n_excl = 0
+    if rng_mode == "tea":
+        tag_chan = len(chans)
+        chans.append(bc(tag).reshape(shape))
+    elif rng_mode != "fast":
+        raise ValueError(f"unknown rng_mode {rng_mode!r}")
+    if n_types > 1:
+        typ_chan = len(chans)
+        chans.append(typ.astype(jnp.float32).reshape(shape))
+    if params.excl is not None:
+        n_excl = params.excl.shape[1]
+        if tag_chan < 0:
+            tag_chan = len(chans)
+            chans.append(bc(tag).reshape(shape))
+        ex_chan = len(chans)
+        ex = params.excl[tag]                        # (nr, E) gather
+        for e in range(n_excl):
+            chans.append(bc(ex[:, e]).reshape(shape))
+    n_chan = len(chans)
+
+    zc = z_chunks
+    if zc <= 0:
+        zc = _auto_z_chunks(n_chan, k, nz, w_lane)
+    if nz % zc:
+        raise ValueError(f"z_chunks={zc} must divide ncz={nz}")
+    nzc = nz // zc
+
+    def prep(stack):
+        """(C, ny, nz, k, nx) -> cy-padded (C, ny+2, zc, k, L) view."""
+        c_dim = stack.shape[0]
+        planes = stack.transpose(0, 1, 3, 2, 4)     # (C, ny, k, nz, nx)
+        if zc > 1:
+            zpad = jnp.concatenate(
+                [planes[..., -1:, :], planes, planes[..., :1, :]], axis=3)
+            chunks = jnp.stack(
+                [zpad[..., i * nzc:i * nzc + nzc + 2, :]
+                 for i in range(zc)], axis=2)
+        else:
+            chunks = planes[:, :, None]             # (C, ny, 1, k, nz, nx)
+        chunks = jnp.concatenate(
+            [chunks[..., -xr:], chunks, chunks[..., :xr]], axis=-1)
+        vw = chunks.reshape(c_dim, ny, zc, k, l_lane)
+        return jnp.concatenate([vw[:, -1:], vw, vw[:, :1]], axis=1)
+
+    body_z = (nzc + 2) if zc > 1 else nz
+    l_lane = body_z * w_lane
+    view = prep(jnp.stack(chans))
+
+    dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
+    lens = box.lengths
+    scal = jnp.stack([
+        params.a[0, 0], params.gamma[0, 0],
+        params.sigma[0, 0] * dt_inv_sqrt, params.rc[0, 0],
+        lens[0], lens[1], lens[2],
+        1.0 / lens[0], 1.0 / lens[1], 1.0 / lens[2],
+        jnp.float32(1.0) if params.excl_w is None else params.excl_w,
+        jnp.float32(0)]).reshape(1, 12)
+    iscal = jnp.stack([jnp.asarray(step, jnp.int32),
+                       params.seed.astype(jnp.int32)]).reshape(1, 2)
+    if n_types > 1:
+        tab = jnp.stack([params.a.reshape(-1), params.gamma.reshape(-1),
+                         params.sigma.reshape(-1) * dt_inv_sqrt,
+                         params.rc.reshape(-1)])
+    else:
+        tab = jnp.zeros((4, 1), jnp.float32)
+
+    # per-(cy, chunk) occupancy bounds for the mid and down bands: max
+    # occupied slot (+1) over the chunk's z-range +-1 (rolled sources mix
+    # the chunk pads)
+    occ_slot = jnp.where(vmask > 0.5,
+                         jnp.arange(1, k + 1, dtype=jnp.int32)[None, None,
+                                                               :, None], 0)
+    occ_yz = jnp.max(occ_slot, axis=(2, 3))         # (ny, nz)
+    occ_pad = jnp.concatenate(
+        [occ_yz[:, -1:], occ_yz, occ_yz[:, :1]], axis=1)
+    jm_rows = jnp.stack(
+        [jnp.max(occ_pad[:, i * nzc:i * nzc + nzc + 2], axis=1)
+         for i in range(zc)], axis=1)               # (ny, zc)
+    jm_mid = jnp.maximum(jm_rows, 1)
+    jm_down = jnp.roll(jm_mid, -1, axis=0)
+    jm = jnp.stack([jm_mid.reshape(-1), jm_down.reshape(-1)])  # (2, ny*zc)
+
+    # offset table (only read when dyn_roll)
+    mid_half = ([dx for dx in range(1, xr + 1)]
+                + [w_lane + dx for dx in range(-xr, xr + 1)])
+    down_full = [dz * w_lane + dx for dz in (-1, 0, 1)
+                 for dx in range(-xr, xr + 1)]
+    offs = jnp.asarray([mid_half + down_full], jnp.int32)
+
+    # per-lane rc^2: -1 on pad lanes (x wrap pads, z chunk pads)
+    lane_x = jnp.tile(jnp.arange(w_lane), body_z)
+    real = (lane_x >= xr) & (lane_x < xr + nx)
+    if zc > 1:
+        lane_z = jnp.repeat(jnp.arange(body_z), w_lane)
+        real = real & (lane_z >= 1) & (lane_z <= nzc)
+    rc2lane = jnp.where(real, params.rc[0, 0] ** 2,
+                        jnp.float32(-1.0)).reshape(1, l_lane)
+
+    def band_spec(dy):
+        return pl.BlockSpec(
+            (n_chan, 1, 1, k, l_lane),
+            index_map=lambda cy, cb: (0, cy + dy, cb, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, 12), lambda cy, cb: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2), lambda cy, cb: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(tab.shape, lambda cy, cb: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((2, ny * zc), lambda cy, cb: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, offs.shape[1]), lambda cy, cb: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, l_lane), lambda cy, cb: (0, 0),
+                     memory_space=pltpu.VMEM),
+        band_spec(1), band_spec(2),
+    ]
+
+    out = pl.pallas_call(
+        partial(_v3_kernel, k=k, w_lane=w_lane, l_lane=l_lane,
+                rng_mode=rng_mode, rng_rounds=rng_rounds, n_chan=n_chan,
+                n_types=n_types, typ_chan=typ_chan, tag_chan=tag_chan,
+                n_excl=n_excl, ex_chan=ex_chan, s_exp=s_exp, xr=xr,
+                dyn_roll=dyn_roll),
+        grid=(ny, zc),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (4, 2, 1, 1, k, l_lane),
+            index_map=lambda cy, cb: (0, 0, cy, cb, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, 2, ny, zc, k, l_lane),
+                                       jnp.float32),
+        interpret=interpret,
+    )(scal, iscal, tab, jm, offs, rc2lane, view, view)
+
+    # epilogue: combine the reaction plane (targets row cy+1) into its row,
+    # then harvest reactions that landed on pad lanes onto the real twins
+    combined = out[:, 0] + jnp.roll(out[:, 1], 1, axis=1)
+    arr = combined.reshape(4, ny, zc, k, body_z, w_lane)
+    core = arr[..., xr:xr + nx]
+    # x wrap pads: left pads are twins of the LAST xr columns, right pads
+    # of the first xr
+    core = core.at[..., nx - xr:].add(arr[..., :xr])
+    core = core.at[..., :xr].add(arr[..., nx + xr:])
+    if zc > 1:
+        zcore = core[..., 1:-1, :]
+        # left z pad of chunk cb = last real z of chunk cb-1 (wraps)
+        zcore = zcore.at[:, :, :, :, -1, :].add(
+            jnp.roll(core[:, :, :, :, 0, :], -1, axis=2))
+        zcore = zcore.at[:, :, :, :, 0, :].add(
+            jnp.roll(core[:, :, :, :, -1, :], 1, axis=2))
+        core = zcore
+    # (4, ny, zc, k, nzc, nx) -> (4, ny, nz, k, nx) -> rows
+    out4 = core.transpose(0, 1, 2, 4, 3, 5).reshape(4, ny, nz, k, nx)
+    f = jnp.stack([out4[0].reshape(nr), out4[1].reshape(nr),
+                   out4[2].reshape(nr)], axis=-1)
+    return f, jnp.sum(out4[3])

@@ -20,7 +20,8 @@ def classic_fluid(l: float = 32.0, density: float = 3.0, kt: float = 1.0,
                   dt: float = 0.01, seed: int = 928459, init_seed: int = 0,
                   skin: float = 0.3, rebuild_every: int = 10,
                   rng_mode: str = "tea", force_path: str = "nlist",
-                  spill: bool | None = None,
+                  spill: bool | None = None, pair_kernel: str = "v2",
+                  rebuild: str = "gather",
                   ) -> tuple[System, SystemParams, State]:
     """Build (system, params, state) for the classic fluid, forces initialized.
 
@@ -32,12 +33,16 @@ def classic_fluid(l: float = 32.0, density: float = 3.0, kt: float = 1.0,
     params = SystemParams.build(
         DPDParams.build(a=a, gamma=gamma, rc=rc, kt=kt, seed=seed))
     if spill is None:
-        # tea tier: spill is disabled (device miscompile; strict buckets
-        # route to the exact sweep)
-        spill = force_path == "pallas" and rng_mode != "tea"
+        # v2 tea tier: spill is disabled (device miscompile; strict buckets
+        # route to the exact sweep). The v3 kernel has no such routing.
+        spill = force_path == "pallas" and (
+            rng_mode != "tea" or pair_kernel.startswith("v3"))
     system = System.for_fluid([l] * 3, rc=rc, density=density, dt=dt,
                               skin=skin, rebuild_every=rebuild_every,
-                              rng_mode=rng_mode, spill=spill)
+                              rng_mode=rng_mode, spill=spill,
+                              rebuild=rebuild)
     if force_path != "nlist":
         system = system.replace(force_path=force_path)
+    if pair_kernel != "v2":
+        system = system.replace(pair_kernel=pair_kernel)
     return system, params, setup(system, params, state)

@@ -162,10 +162,21 @@ def rebuild_buckets(state: State, cfg: CellConfig) -> tuple[State, Array]:
     """Redistribute rows into bucket order. Input may have any row count;
     output has exactly n_rows(cfg) rows. Returns (bucket_state, overflow).
 
-    Pipeline (all fixed-shape, race-free): cell key -> stable sort ->
-    rank-in-cell -> target row -> ONE packed gather+scatter for all fields
-    (the reference's count/scan/fill in sort+scan+scatter form, §3.4).
+    Dispatches on ``cfg.rebuild``: "gather" = index-map + one wide gather
+    (r2 design); "sort" = two multi-operand sorts (r3 design, see
+    ``rebuild_buckets_sort`` — requires a steady-state nr-row input and
+    falls back to gather otherwise). Both produce bitwise-identical
+    placement.
     """
+    if getattr(cfg, "rebuild", "gather") == "sort" and state.n == n_rows(cfg):
+        return rebuild_buckets_sort(state, cfg)
+    return _rebuild_buckets_gather(state, cfg)
+
+
+def _rebuild_buckets_gather(state: State, cfg: CellConfig) -> tuple[State,
+                                                                    Array]:
+    """Index-map + one packed gather for all fields (the reference's
+    count/scan/fill in sort+scan+scatter form, §3.4)."""
     nx, ny, nz = cfg.ncell
     k = cfg.capacity
     nr = n_rows(cfg)
@@ -209,6 +220,78 @@ def rebuild_buckets(state: State, cfg: CellConfig) -> tuple[State, Array]:
     packed, layout = _pack_rows(state)
     out = jnp.take(packed, src, axis=0)
     out = jnp.where((idx_map >= 0)[:, None], out, 0.0)
+    new = _unpack_rows(out, layout, state)
+    return new, overflow
+
+
+def rebuild_buckets_sort(state: State, cfg: CellConfig) -> tuple[State,
+                                                                 Array]:
+    """Sort-based rebuild: bitwise-identical placement to
+    ``rebuild_buckets`` with the payload moved ONLY through two
+    multi-operand ``lax.sort`` networks (VERDICT r3 item 5).
+
+    Measured r2 device facts behind the design (PERF_NOTES.md): a random
+    (2M, 16) row gather costs ~51 ms and the same-shape scatter ~236 ms,
+    while multi-operand lax.sort moves the same payload at key-sort speed
+    (~12.7 ms). So: sort #1 groups rows by cell key (payload rides),
+    the slot assignment runs as int32 passes in sorted space, dummy rows
+    are keyed to the unused padded slots (roll trick — the k-th invalid
+    sorted row takes the k-th unused slot, and both sequences are already
+    in order), and sort #2 by target row IS the placement (the targets
+    are a permutation of [0, nr)).
+    """
+    nx, ny, nz = cfg.ncell
+    k = cfg.capacity
+    nr = n_rows(cfg)
+    n_in = state.n
+
+    cx, cy, cz = cell_coords(state.x, state.mask, state.box, cfg)
+    key = (cy * nz + cz) * nx + cx
+    key = jnp.where(state.mask, key, nx * ny * nz)
+
+    packed, layout = _pack_rows(state)
+    w = packed.shape[1]
+    cols = [packed[:, i] for i in range(w)]
+    sorted1 = jax.lax.sort([key] + cols, num_keys=1, is_stable=True)
+    key_s, cols = sorted1[0], list(sorted1[1:])
+    valid_s = key_s < nx * ny * nz
+    base = key_s // nx
+    cxs = key_s - base * nx
+
+    if cfg.spill:
+        target, fits, overflow = spill_assign(
+            base, cxs, valid_s, n_in, nx, k, ny * nz, wrap=True)
+    else:
+        n_cells = nx * ny * nz
+        starts = jnp.searchsorted(
+            key_s, jnp.arange(n_cells + 1, dtype=key_s.dtype), side="left")
+        rank = jnp.arange(n_in, dtype=jnp.int32) - starts[
+            jnp.minimum(key_s, n_cells)].astype(jnp.int32)
+        fits = valid_s & (rank < k)
+        overflow = jnp.sum(valid_s & (rank >= k))
+        target = (base * k + jnp.minimum(rank, k - 1)) * nx + cxs
+        target = jnp.where(fits, target,
+                           nr + jnp.arange(n_in, dtype=jnp.int32))
+
+    # unused padded slots in ascending order: mark used, stable-argsort the
+    # marks (zeros keep index order), then hand the j-th non-fitting sorted
+    # row the j-th unused slot via one traced roll — no payload movement
+    used = jnp.zeros((nr,), jnp.int32).at[target].set(
+        jnp.ones((n_in,), jnp.int32), mode="drop")
+    unused_idx = jnp.argsort(used, stable=True)    # zeros (unused) first
+    n_fit = jnp.sum(fits.astype(jnp.int32))
+    # sorted rows are [fitting valids | rest]: not exactly — non-fitting
+    # rows may interleave (spill overflow). Rank the non-fitting rows:
+    miss_rank = jnp.cumsum((~fits).astype(jnp.int32)) - 1
+    t_dummy = unused_idx[jnp.minimum(miss_rank, nr - 1)]
+    t_full = jnp.where(fits, target, t_dummy).astype(jnp.int32)
+
+    live = fits.astype(jnp.float32)
+    sorted2 = jax.lax.sort([t_full] + cols + [live], num_keys=1,
+                           is_stable=True)
+    out_cols, live_s = sorted2[1:-1], sorted2[-1]
+    out = jnp.stack(out_cols, axis=1)
+    out = jnp.where(live_s[:, None] > 0.5, out, 0.0)
     new = _unpack_rows(out, layout, state)
     return new, overflow
 

@@ -54,6 +54,10 @@ class CellConfig:
     # w-cell window holding > (w+1)K particles — >= 2.4x mean for every w.
     # Only the fused Pallas kernel (window +-2) understands this layout.
     spill: bool = False
+    # Rebuild engine: "gather" (r2 index-map + wide gather) or "sort"
+    # (r3 two multi-operand sorts — payload moves at key-sort speed;
+    # see bucket_layout.rebuild_buckets_sort). Identical placement.
+    rebuild: str = "gather" 
 
     @property
     def n_cells(self) -> int:
@@ -64,7 +68,8 @@ class CellConfig:
     def for_box(box_lengths, rc: float, density: float, skin: float = 0.3,
                 rebuild_every: int = 10, capacity: int | None = None,
                 min_image_safe: bool = True,
-                spill: bool = False) -> "CellConfig":
+                spill: bool = False,
+                rebuild: str = "gather") -> "CellConfig":
         """Choose the grid so cell side >= rc+skin (host-side, static)."""
         import numpy as np
         l = np.asarray(box_lengths, float)
@@ -90,7 +95,8 @@ class CellConfig:
                 capacity = ((cap + 3) // 4) * 4
         return CellConfig(ncell=tuple(int(v) for v in ncell),
                           capacity=capacity, skin=skin,
-                          rebuild_every=rebuild_every, spill=spill)
+                          rebuild_every=rebuild_every, spill=spill,
+                          rebuild=rebuild)
 
 
 @jax.tree_util.register_dataclass

@@ -202,3 +202,37 @@ def test_special_bonds_bucket_and_pallas_match_dense():
                                                        excl_w=None),
                              0.01, rng_mode="fast")
     assert np.abs(np.asarray(f_d)[m] - np.asarray(f_u)[m]).max() > 1e-3
+
+
+def test_sort_rebuild_matches_gather():
+    """rebuild_buckets_sort places every row bitwise-identically to the
+    gather engine (strict and spill), in the steady state (nr-row input)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from meso_tpu.core.box import Box
+    from meso_tpu.core.state import create_random
+    from meso_tpu.neighbor.bucket_layout import (_rebuild_buckets_gather,
+                                                 rebuild_buckets_sort,
+                                                 to_bucket_state)
+    from meso_tpu.neighbor.cells import CellConfig
+
+    for spill in (False, True):
+        l, n = 6.0, 810
+        box = Box.cubic(l)
+        st = create_random(jax.random.PRNGKey(11), n, box, kt=1.0)
+        cfg = CellConfig.for_box([l] * 3, rc=1.0, density=n / l ** 3,
+                                 skin=0.3, spill=spill)
+        bst = to_bucket_state(st, cfg)
+        # drift the positions a bit so the resort is nontrivial
+        bst = bst.replace(x=box.wrap(bst.x + 0.05 * bst.v)[0])
+        a, of_a = jax.jit(_rebuild_buckets_gather,
+                          static_argnames="cfg")(bst, cfg)
+        b, of_b = jax.jit(rebuild_buckets_sort,
+                          static_argnames="cfg")(bst, cfg)
+        assert int(of_a) == int(of_b) == 0
+        for f in ("x", "v", "f", "tag", "typ", "mol", "image"):
+            av, bv = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+            assert (av == bv).all(), (spill, f)
+        assert (np.asarray(a.mask) == np.asarray(b.mask)).all()
