@@ -76,15 +76,18 @@ def _groups(k: int):
 def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
                rng_rounds: int, n_chan: int, n_types: int, typ_chan: int,
                tag_chan: int, n_excl: int, ex_chan: int, s_exp: float,
-               xr: int, dyn_roll: bool):
+               xr: int, dyn_roll: bool, nx: int, nzc: int, zc: int,
+               z_halo: bool):
     """One grid step = one (cy row, z-chunk).
 
-    Inputs: scal, iscal, tab, jm, offs (SMEM); rc2lane (VMEM (1, L));
-    mid band block, down band block (VMEM (C, 1, 1, K, L)).
+    Inputs: scal, iscal, tab, jm, offs (SMEM); mid band block, down band
+    block (VMEM (C, 1, 1, K, L)). The per-lane rc^2 row (pad lanes -> -1)
+    is built in-kernel from iota: a (1, L) VMEM *input* would be an
+    unaligned block (sublane dim < 8) — Mosaic rejects it.
     Output: (4, 2, 1, 1, K, L) — [:, 0] = contributions to row cy,
     [:, 1] = reactions onto row cy+1 (rolled down by the epilogue).
     """
-    (scal_ref, iscal_ref, tab_ref, jm_ref, offs_ref, rc2_ref, b_mid,
+    (scal_ref, iscal_ref, tab_ref, jm_ref, offs_ref, b_mid,
      b_down, out_ref) = refs
     a = scal_ref[0, 0]
     gamma = scal_ref[0, 1]
@@ -106,7 +109,17 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
     jm_mid = jm_ref[0, cy * pl.num_programs(1) + cb]
     jm_down = jm_ref[1, cy * pl.num_programs(1) + cb]
 
-    rc2lane = rc2_ref[:]                      # (1, L): rc^2, -1 on pads
+    # per-lane rc^2 row: rc^2 on real target lanes, -1 on x-wrap / z-chunk
+    # pad lanes (the pad mask rides the cutoff compare for free)
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, l_lane), 1)
+    zb = li // w_lane
+    xw = li - zb * w_lane
+    real = (xw >= xr) & (xw < xr + nx)
+    if z_halo:
+        # z-halo rows AND any 128-alignment pad lanes (zb >= nzc+2) are
+        # non-targets; pad-lane sources carry VALID=0 zeros
+        real = real & (zb >= 1) & (zb <= nzc)
+    rc2lane = jnp.where(real, rc * rc, jnp.float32(-1.0))
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (k, l_lane), 0)
 
     # lane offsets (dz * w_lane + dx); (0,0) handled by center_pass
@@ -308,7 +321,8 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
 
 
 def _auto_z_chunks(n_chan: int, k: int, nz: int, w_lane: int,
-                   budget_bytes: int = 9 * 2 ** 20) -> int:
+                   budget_bytes: int = 9 * 2 ** 20,
+                   z_halo_always: bool = False) -> int:
     """Smallest divisor of nz keeping the kernel VMEM footprint in budget:
     2 band blocks + the double output block, double-buffered, plus working
     tiles for the unrolled 8-row group body."""
@@ -316,7 +330,8 @@ def _auto_z_chunks(n_chan: int, k: int, nz: int, w_lane: int,
     for zc in range(1, nz + 1):
         if nz % zc:
             continue
-        l_phys = -(-((nz // zc + (2 if zc > 1 else 0)) * w_lane) // 128) * 128
+        halo = 2 if (zc > 1 or z_halo_always) else 0
+        l_phys = -(-((nz // zc + halo) * w_lane) // 128) * 128
         per_block = k_phys * l_phys * 4
         total = (2 * 2 * n_chan + 2 * 8 + 24) * per_block
         if total <= budget_bytes:
@@ -385,16 +400,23 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
 
     zc = z_chunks
     if zc <= 0:
-        zc = _auto_z_chunks(n_chan, k, nz, w_lane)
+        zc = _auto_z_chunks(n_chan, k, nz, w_lane, z_halo_always=dyn_roll)
     if nz % zc:
         raise ValueError(f"z_chunks={zc} must divide ncz={nz}")
     nzc = nz // zc
+    # dyn_roll: tpu.dynamic_rotate needs a 128-aligned lane dim, so the
+    # lane row is zero-padded up to a 128 multiple — which forbids relying
+    # on circular roll wrap for z periodicity, hence z halos always
+    z_halo = (zc > 1) or dyn_roll
+    body_z = (nzc + 2) if z_halo else nz
+    l_log = body_z * w_lane
+    l_lane = (-(-l_log // 128) * 128) if dyn_roll else l_log
 
     def prep(stack):
         """(C, ny, nz, k, nx) -> cy-padded (C, ny+2, zc, k, L) view."""
         c_dim = stack.shape[0]
         planes = stack.transpose(0, 1, 3, 2, 4)     # (C, ny, k, nz, nx)
-        if zc > 1:
+        if z_halo:
             zpad = jnp.concatenate(
                 [planes[..., -1:, :], planes, planes[..., :1, :]], axis=3)
             chunks = jnp.stack(
@@ -404,11 +426,11 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
             chunks = planes[:, :, None]             # (C, ny, 1, k, nz, nx)
         chunks = jnp.concatenate(
             [chunks[..., -xr:], chunks, chunks[..., :xr]], axis=-1)
-        vw = chunks.reshape(c_dim, ny, zc, k, l_lane)
+        vw = chunks.reshape(c_dim, ny, zc, k, l_log)
+        if l_lane > l_log:
+            vw = jnp.pad(vw, [(0, 0)] * 4 + [(0, l_lane - l_log)])
         return jnp.concatenate([vw[:, -1:], vw, vw[:, :1]], axis=1)
 
-    body_z = (nzc + 2) if zc > 1 else nz
-    l_lane = body_z * w_lane
     view = prep(jnp.stack(chans))
 
     dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
@@ -452,15 +474,6 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
                  for dx in range(-xr, xr + 1)]
     offs = jnp.asarray([mid_half + down_full], jnp.int32)
 
-    # per-lane rc^2: -1 on pad lanes (x wrap pads, z chunk pads)
-    lane_x = jnp.tile(jnp.arange(w_lane), body_z)
-    real = (lane_x >= xr) & (lane_x < xr + nx)
-    if zc > 1:
-        lane_z = jnp.repeat(jnp.arange(body_z), w_lane)
-        real = real & (lane_z >= 1) & (lane_z <= nzc)
-    rc2lane = jnp.where(real, params.rc[0, 0] ** 2,
-                        jnp.float32(-1.0)).reshape(1, l_lane)
-
     def band_spec(dy):
         return pl.BlockSpec(
             (n_chan, 1, 1, k, l_lane),
@@ -477,8 +490,6 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, offs.shape[1]), lambda cy, cb: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, l_lane), lambda cy, cb: (0, 0),
-                     memory_space=pltpu.VMEM),
         band_spec(1), band_spec(2),
     ]
 
@@ -487,7 +498,7 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
                 rng_mode=rng_mode, rng_rounds=rng_rounds, n_chan=n_chan,
                 n_types=n_types, typ_chan=typ_chan, tag_chan=tag_chan,
                 n_excl=n_excl, ex_chan=ex_chan, s_exp=s_exp, xr=xr,
-                dyn_roll=dyn_roll),
+                dyn_roll=dyn_roll, nx=nx, nzc=nzc, zc=zc, z_halo=z_halo),
         grid=(ny, zc),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -497,18 +508,18 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
         out_shape=jax.ShapeDtypeStruct((4, 2, ny, zc, k, l_lane),
                                        jnp.float32),
         interpret=interpret,
-    )(scal, iscal, tab, jm, offs, rc2lane, view, view)
+    )(scal, iscal, tab, jm, offs, view, view)
 
     # epilogue: combine the reaction plane (targets row cy+1) into its row,
     # then harvest reactions that landed on pad lanes onto the real twins
     combined = out[:, 0] + jnp.roll(out[:, 1], 1, axis=1)
-    arr = combined.reshape(4, ny, zc, k, body_z, w_lane)
+    arr = combined[..., :l_log].reshape(4, ny, zc, k, body_z, w_lane)
     core = arr[..., xr:xr + nx]
     # x wrap pads: left pads are twins of the LAST xr columns, right pads
     # of the first xr
     core = core.at[..., nx - xr:].add(arr[..., :xr])
     core = core.at[..., :xr].add(arr[..., nx + xr:])
-    if zc > 1:
+    if z_halo:
         zcore = core[..., 1:-1, :]
         # left z pad of chunk cb = last real z of chunk cb-1 (wraps)
         zcore = zcore.at[:, :, :, :, -1, :].add(

@@ -92,11 +92,23 @@ def test_v3_z_chunks_spill():
     _compare(box, st, cfg, params, z_chunks=3)
 
 
-def test_v3_dyn_roll_interpret():
+@pytest.mark.parametrize("spill", [False, True])
+def test_v3_dyn_roll_interpret(spill):
     """Traced-offset roll path (semantics check; device support is probed
-    separately by tools/toy_dynroll.py)."""
-    box, st, cfg, params = _sys(spill=True)
+    separately by tools/toy_dynroll.py). dyn_roll pads lanes to a 128
+    multiple and forces z halos even at z_chunks=1 — this exercises both."""
+    box, st, cfg, params = _sys(spill=spill)
     _compare(box, st, cfg, params, dyn_roll=True)
+
+
+def test_v3_dyn_roll_z_chunks():
+    box, st, cfg, params = _sys(n=2187, l=9.0, spill=True)
+    _compare(box, st, cfg, params, z_chunks=3, dyn_roll=True)
+
+
+def test_v3_dyn_roll_tea():
+    box, st, cfg, params = _sys(spill=True)
+    _compare(box, st, cfg, params, rng_mode="tea", dyn_roll=True)
 
 
 def test_v3_special_bonds():

@@ -1,6 +1,7 @@
 """Break down the fused-pallas step cost on device: bare kernel vs channel
 prep vs rebuild vs full step vs fused chunk. Usage:
-    python tools/tpu_retry.py --timeout 900 tools/bench_breakdown.py [L]
+    python tools/bench_breakdown.py [L] [v2|v3|v3_dynroll]
+(redirect to a file and poll; no short retry timeouts — CLAUDE.md r3)
 """
 
 import sys
@@ -24,27 +25,36 @@ def timeit(f, *a, reps=3):
 
 def main():
     l = float(sys.argv[1]) if len(sys.argv) > 1 else 32.0
+    kernel = sys.argv[2] if len(sys.argv) > 2 else "v2"
     from meso_tpu.core.system import _bucket_chunk, make_step
     from meso_tpu.kernels.pair_dpd_fused import bucket_forces_pallas_fused
+    from meso_tpu.kernels.pair_dpd_v3 import bucket_forces_pallas_v3
     from meso_tpu.models.classic import classic_fluid
     from meso_tpu.neighbor.bucket_layout import rebuild_buckets
 
     print(jax.devices(), flush=True)
     system, params, state = classic_fluid(l=l, rng_mode="fast", skin=0.4,
                                           rebuild_every=3,
-                                          force_path="pallas")
+                                          force_path="pallas",
+                                          pair_kernel=kernel)
     n_real = int(state.n_valid())
     print(f"rows={state.n} real={n_real} cfg={system.cells}", flush=True)
 
     @jax.jit
     def kern(s):
-        f, vir = bucket_forces_pallas_fused(
-            s.x, s.v, s.typ, s.tag, s.mask, s.box, s.step, params.pair,
-            system.dt, system.cells)
+        if kernel.startswith("v3"):
+            f, vir = bucket_forces_pallas_v3(
+                s.x, s.v, s.typ, s.tag, s.mask, s.box, s.step, params.pair,
+                system.dt, system.cells,
+                dyn_roll=kernel == "v3_dynroll")
+        else:
+            f, vir = bucket_forces_pallas_fused(
+                s.x, s.v, s.typ, s.tag, s.mask, s.box, s.step, params.pair,
+                system.dt, system.cells)
         return f
 
     t, _ = timeit(kern, state)
-    print(f"bare fused kernel + prep: {t*1e3:.2f} ms", flush=True)
+    print(f"bare {kernel} kernel + prep: {t*1e3:.2f} ms", flush=True)
 
     @jax.jit
     def reb(s):

@@ -1,0 +1,140 @@
+"""Round-3 consolidated device session: v3 kernel validation + perf ladder
+in ONE process (one client, no mid-compile kills; CLAUDE.md r3 rules).
+
+Stages (each prints incrementally, flush=True):
+  1. v3 dyn_roll compile probe (small spill config) + oracle parity
+  2. v2 vs v3(dyn) timing at 98k and 1M (fused production loop)
+  3. rebuild engine gather-vs-sort timing at 1M
+  4. compiled v3(dyn) parity matrix incl. spill+tea (the r2 miscompile
+     combinations)
+  5. (optional, env MESO_R3_STATIC=1) v3 static-unroll compile probe —
+     riskiest compile LAST
+
+Run: nohup python tools/r3_session.py > /tmp/r3_session.log 2>&1 &
+with NO outer timeout below 2h; poll the log.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+print("dev:", jax.devices(), flush=True)
+
+from meso_tpu.core.box import Box
+from meso_tpu.core.state import create_random
+from meso_tpu.core.system import run_bucket_chunked, setup
+from meso_tpu.kernels.pair_dpd_v3 import bucket_forces_pallas_v3
+from meso_tpu.models.classic import classic_fluid
+from meso_tpu.neighbor.bucket_layout import (_rebuild_buckets_gather,
+                                             rebuild_buckets_sort,
+                                             to_bucket_state)
+from meso_tpu.neighbor.cells import CellConfig
+from meso_tpu.obs import kinetic_temperature
+from meso_tpu.ops.dpd import DPDParams, dense_forces
+
+PARAMS = DPDParams.build(a=25.0, gamma=4.5, rc=1.0, kt=1.0, seed=77)
+
+
+def parity(l, n, skin, cap=None, spill=False, rng="fast", dyn=True,
+           tol=5e-5, label=""):
+    box = Box.cubic(l)
+    st = create_random(jax.random.PRNGKey(3), n, box, kt=1.0)
+    cfg = CellConfig.for_box([l] * 3, rc=1.0, density=n / l ** 3, skin=skin,
+                             capacity=cap, spill=spill)
+    bst = to_bucket_state(st, cfg)
+    step = jnp.int32(42)
+    t0 = time.time()
+    f_p, vir_p = bucket_forces_pallas_v3(
+        bst.x, bst.v, bst.typ, bst.tag, bst.mask, box, step, PARAMS, 0.01,
+        cfg, rng_mode=rng, interpret=False, dyn_roll=dyn)
+    jax.block_until_ready(f_p)
+    tc = time.time() - t0
+    f_d, vir_d, _ = dense_forces(bst.x, bst.v, bst.typ, bst.tag, bst.mask,
+                                 box, step, PARAMS, 0.01, rng_mode=rng)
+    m = np.asarray(bst.mask)
+    fd, fp = np.asarray(f_d), np.asarray(f_p)
+    err = np.abs(fp[m] - fd[m]).max() / np.abs(fd).max()
+    verr = abs(float(vir_p) - float(vir_d)) / abs(float(vir_d))
+    ok = err < tol and verr < 1e-3
+    print(f"{'PASS' if ok else 'FAIL'} {label} l={l} ncell={cfg.ncell} "
+          f"K={cfg.capacity} spill={cfg.spill} rng={rng} dyn={dyn}: "
+          f"rel={err:.2e} vir={verr:.2e} compile={tc:.0f}s", flush=True)
+    return ok
+
+
+def timing(l, kernel, rengine="gather", skin=0.4, every=3, steps=60,
+           rng="fast"):
+    system, params, state = classic_fluid(
+        l=l, rebuild_every=every, skin=skin, rng_mode=rng,
+        force_path="pallas", pair_kernel=kernel, rebuild=rengine)
+    n = int(state.n_valid())
+    nch = max(steps // every, 1)
+    t0 = time.time()
+    state, diag = run_bucket_chunked(system, params, state, nch, every)
+    jax.block_until_ready(state.x)
+    tc = time.time() - t0
+    t0 = time.time()
+    state, diag = run_bucket_chunked(system, params, state, nch, every)
+    jax.block_until_ready(state.x)
+    dt = (time.time() - t0) / (nch * every)
+    kt = float(kinetic_temperature(state.v, params.mass[state.typ],
+                                   state.mask))
+    of = float(np.max(np.asarray(diag.get("bucket_overflow", 0))))
+    print(f"TIMING l={l} n={n} kern={kernel} rb={rengine} skin={skin} "
+          f"every={every}: {dt * 1e3:.1f} ms/step ({n / dt:.3e} ps/s) "
+          f"kT={kt:.4f} of={of:.0f} compile+warm={tc:.0f}s", flush=True)
+    return dt
+
+
+def rebuild_timing(l=70.0, skin=0.4, spill=True):
+    n = int(round(3.0 * l ** 3))
+    box = Box.cubic(l)
+    st = create_random(jax.random.PRNGKey(1), n, box, kt=1.0)
+    cfg = CellConfig.for_box([l] * 3, rc=1.0, density=3.0, skin=skin,
+                             spill=spill)
+    bst = to_bucket_state(st, cfg)
+    bst = bst.replace(x=box.wrap(bst.x + 0.05 * bst.v)[0])
+    for name, fn in (("gather", _rebuild_buckets_gather),
+                     ("sort", rebuild_buckets_sort)):
+        jf = jax.jit(fn, static_argnames="cfg")
+        out, of = jf(bst, cfg)
+        jax.block_until_ready(out.x)
+        t0 = time.time()
+        for _ in range(5):
+            out, of = jf(bst, cfg)
+        jax.block_until_ready(out.x)
+        print(f"REBUILD {name} l={l} rows={out.n}: "
+              f"{(time.time() - t0) / 5 * 1e3:.1f} ms (of={int(of)})",
+              flush=True)
+
+
+if __name__ == "__main__":
+    print("=== stage 1: v3 dyn compile probe ===", flush=True)
+    ok = parity(8.0, 1536, 0.3, spill=True, dyn=True, label="probe")
+    if not ok:
+        print("ABORT: v3 dyn probe failed", flush=True)
+        sys.exit(1)
+    print("=== stage 2: timing ladder ===", flush=True)
+    timing(32.0, "v2")
+    timing(32.0, "v3_dynroll")
+    timing(70.0, "v2", steps=30)
+    timing(70.0, "v3_dynroll", steps=30)
+    print("=== stage 3: rebuild engines at 1M ===", flush=True)
+    rebuild_timing()
+    print("=== stage 4: v3 parity matrix ===", flush=True)
+    parity(8.0, 1536, 0.3, dyn=True, label="strict-small")
+    parity(8.0, 1536, 0.3, spill=True, rng="tea", dyn=True,
+           label="spill-tea")
+    parity(8.0, 1536, 0.3, rng="tea", dyn=True, label="strict-tea")
+    parity(12.0, 5184, 0.4, spill=True, dyn=True, label="mid-spill")
+    parity(8.0, 1536, 0.3, cap=28, dyn=True, label="oddK")
+    if os.environ.get("MESO_R3_STATIC") == "1":
+        print("=== stage 5: v3 static compile probe ===", flush=True)
+        parity(8.0, 1536, 0.3, spill=True, dyn=False, label="static")
+    print("R3_SESSION_DONE", flush=True)
