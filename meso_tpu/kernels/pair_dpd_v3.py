@@ -54,30 +54,23 @@ _SX, _SY, _SZ, _VX, _VY, _VZ, _H, _VALID = range(8)
 
 
 def _groups(k: int):
-    """Aligned (start, first_row) 8-row source groups covering slots [0,k).
-
-    Groups start at multiples of 8; a non-multiple-of-8 k gets a final
-    group anchored at k-8 whose overlap rows are statically skipped.
-    first_row = index (0..7) of the first NON-overlapping row in the group.
-    """
-    if k < 8:
-        raise ValueError("v3 kernel requires capacity K >= 8")
-    starts = list(range(0, k - 7, 8))
-    if starts[-1] + 8 < k:
-        starts.append(k - 8)
-    out = []
-    prev_end = 0
-    for s in starts:
-        out.append((s, max(0, prev_end - s)))
-        prev_end = s + 8
-    return out
+    """8-row source group starts covering slots [0, k); k must be a
+    multiple of 8 (the wrapper pads capacity with VALID=0 slots), so every
+    group is sublane-aligned — reaction blocks are then stored back with
+    aligned (8, L) slice read-modify-writes on the output ref, the only
+    construct this device toolchain reliably materializes (it rejects or
+    mis-lowers tpu.concatenate of lazy-layout operands, CLAUDE.md r3)."""
+    if k < 8 or k % 8:
+        raise ValueError("v3 kernel requires capacity K >= 8, K % 8 == 0 "
+                         "(the wrapper pads)")
+    return list(range(0, k, 8))
 
 
 def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
                rng_rounds: int, n_chan: int, n_types: int, typ_chan: int,
                tag_chan: int, n_excl: int, ex_chan: int, s_exp: float,
                xr: int, dyn_roll: bool, nx: int, nzc: int, zc: int,
-               z_halo: bool):
+               z_halo: bool, debug_pairs: bool):
     """One grid step = one (cy row, z-chunk).
 
     Inputs: scal, iscal, tab, jm, offs (SMEM); mid band block, down band
@@ -219,6 +212,25 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
                 hit = hit | (pltpu.bitcast(selfc(ex_chan + e),
                                            jnp.int32) == tgj_x)
             fmag = fmag * jnp.where(hit, excl_w, 1.0)
+        if debug_pairs:
+            # pair-accounting mode: fx = pair count, fy = sum of partner
+            # keys (top-23 bits of the hash channel — exact in f32).
+            # Reactions land the TARGET keys on the source, so both sides
+            # stay exactly comparable to the dense oracle's accounting.
+            okf = ok.astype(jnp.float32)
+            # 14-bit keys: row sums of ~30 keys stay exact in f32
+            key_j = jax.lax.shift_right_logical(
+                pltpu.bitcast(row[_H], jnp.int32), 18).astype(jnp.float32)
+            key_i = jax.lax.shift_right_logical(
+                pltpu.bitcast(selfc(_H), jnp.int32), 18).astype(jnp.float32)
+            dfx = okf
+            dfy = okf * key_j
+            dfz = jnp.zeros_like(okf)
+            rfx = jnp.sum(okf, axis=0, keepdims=True)
+            rfy = jnp.sum(okf * key_i, axis=0, keepdims=True)
+            rfz = jnp.zeros((1, l_lane), jnp.float32)
+            # reactions are SUBTRACTED by the caller; negate so counts add
+            return dfx, dfy, dfz, jnp.zeros_like(okf), -rfx, -rfy, -rfz
         fr = fmag * rinv
         dfx = fr * drx
         dfy = fr * dry
@@ -236,88 +248,100 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
     def read_group(band_ref, g0):
         return tuple(band_ref[c, 0, 0, g0:g0 + 8, :] for c in range(n_chan))
 
-    def place_block(gblk, g0):
-        """Embed a (8, L) block at sublanes [g0, g0+8) of a (k, L) zero."""
-        parts = []
-        if g0:
-            parts.append(jnp.zeros((g0, l_lane), jnp.float32))
-        parts.append(gblk)
-        if k - g0 - 8:
-            parts.append(jnp.zeros((k - g0 - 8, l_lane), jnp.float32))
-        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else gblk
+    r_iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, l_lane), 0)
 
-    def run_rows(rows, off, acc, g0, r0, center=False):
-        """All 8 (or fewer) source rows of one rolled group vs the tile."""
-        fx, fy, fz, vir, bx, by, bz = acc
-        rxs, rys, rzs = [], [], []
-        r_first = r0 if not center else max(r0, 1 - g0)
-        for r in range(8):
-            if r < r_first:
-                z = jnp.zeros((1, l_lane), jnp.float32)
-                rxs.append(z), rys.append(z), rzs.append(z)
-                continue
+    def run_rows(rows, off, acc, g0, center=False):
+        """All 8 source rows of one rolled group vs the tile.
+
+        Reaction rows are assembled into an (8, L) block with masked
+        broadcast sums — NEVER by concatenating sliced/rolled values,
+        which Mosaic mis-lowers or rejects ("result/input offset mismatch
+        on non-concat dimension", CLAUDE.md r3) — then back-rolled once
+        per offset into the group's (8, L) reaction accumulator.
+        """
+        fx, fy, fz, vir, gbx, gby, gbz = acc
+        a8x = a8y = a8z = jnp.zeros((8, l_lane), jnp.float32)
+        # center pass, group 0: slot 0 has no lower slot to pair with
+        r_first = 1 if (center and g0 == 0) else 0
+        for r in range(r_first, 8):
             dfx, dfy, dfz, dvir, rfx, rfy, rfz = pair_rows(
                 rows, r, center_j=(g0 + r) if center else None)
             fx = fx + dfx
             fy = fy + dfy
             fz = fz + dfz
             vir = vir + dvir
-            rxs.append(rfx), rys.append(rfy), rzs.append(rfz)
-        gx = jnp.concatenate(rxs, axis=0)
-        gy = jnp.concatenate(rys, axis=0)
-        gz = jnp.concatenate(rzs, axis=0)
-        bx = bx - place_block(roll_back(gx, off), g0)
-        by = by - place_block(roll_back(gy, off), g0)
-        bz = bz - place_block(roll_back(gz, off), g0)
-        return fx, fy, fz, vir, bx, by, bz
+            sel = r_iota8 == r
+            a8x = a8x + jnp.where(sel, rfx, 0.0)
+            a8y = a8y + jnp.where(sel, rfy, 0.0)
+            a8z = a8z + jnp.where(sel, rfz, 0.0)
+        gbx = gbx - roll_back(a8x, off)
+        gby = gby - roll_back(a8y, off)
+        gbz = gbz - roll_back(a8z, off)
+        return fx, fy, fz, vir, gbx, gby, gbz
 
-    def band_pass(band_ref, offs, base, jm, acc, center=False):
-        """One band over its offset list (center=True adds the (0,0)
-        same-column pass in front, valid for the mid band only)."""
-        for g0, r0 in groups:
-            def do_group(acc=acc, g0=g0, r0=r0):
+    def band_pass(band_ref, offs, base, jm, acc, plane):
+        """One band over its offset list (plane=0 adds the (0,0)
+        same-column center pass in front, valid for the mid band only).
+
+        Group reaction blocks land in out_ref[:, plane] via ALIGNED (8, L)
+        slice read-modify-writes — the store relayouts the lazily-rolled
+        accumulators; no in-kernel concatenate exists on any path."""
+        center = plane == 0
+        g8 = jnp.zeros((8, l_lane), jnp.float32)
+        for g0 in groups:
+            def do_group(acc=acc, g0=g0):
+                fx, fy, fz, vir = acc
+                acc2 = (fx, fy, fz, vir, g8, g8, g8)
                 raw = read_group(band_ref, g0)
                 if center:
-                    acc2 = run_rows(raw, 0, acc, g0, r0, center=True)
-                else:
-                    acc2 = acc
+                    acc2 = run_rows(raw, 0, acc2, g0, center=True)
                 if dyn_roll:
                     def obody(oi, acc3):
                         off = offs_ref[0, base + oi]
                         rows = roll_fwd(raw, off)
-                        return run_rows(rows, off, acc3, g0, r0)
+                        return run_rows(rows, off, acc3, g0)
                     acc2 = jax.lax.fori_loop(0, len(offs), obody, acc2)
                 else:
                     for off in offs:
                         rows = roll_fwd(raw, off)
-                        acc2 = run_rows(rows, off, acc2, g0, r0)
+                        acc2 = run_rows(rows, off, acc2, g0)
                 return acc2
 
-            first_j = g0 + r0
-            if first_j == 0:
-                acc = do_group()
+            if g0 == 0 and center:
+                acc7 = do_group()
             else:
-                acc = jax.lax.cond(jm > first_j, do_group, lambda: acc)
+                acc7 = jax.lax.cond(
+                    jm > g0, do_group,
+                    lambda acc=acc: (acc[0], acc[1], acc[2], acc[3],
+                                     g8, g8, g8))
+            fx, fy, fz, vir, gbx, gby, gbz = acc7
+            acc = (fx, fy, fz, vir)
+            # unconditional aligned store (skipped groups add zeros)
+            sl = slice(g0, g0 + 8)
+            out_ref[0, plane, 0, 0, sl, :] = (
+                out_ref[0, plane, 0, 0, sl, :] + gbx)
+            out_ref[1, plane, 0, 0, sl, :] = (
+                out_ref[1, plane, 0, 0, sl, :] + gby)
+            out_ref[2, plane, 0, 0, sl, :] = (
+                out_ref[2, plane, 0, 0, sl, :] + gbz)
         return acc
 
-    # accumulators: target-side fx..vir; reactions of the same-row passes
-    # fold into the same plane (they ARE row cy); down-band reactions into
-    # the second plane
-    acc = (zero, zero, zero, zero, zero, zero, zero)
-    acc = band_pass(b_mid, mid_half, mid_base, jm_mid, acc, center=True)
-    fx, fy, fz, vir, rbx, rby, rbz = acc
-    acc2 = (fx + rbx, fy + rby, fz + rbz, vir, zero, zero, zero)
-    acc2 = band_pass(b_down, down_full, down_base, jm_down, acc2)
-    fx, fy, fz, vir, dbx, dby, dbz = acc2
+    # out_ref starts as the reaction accumulator: plane 0 collects the
+    # same-row (mid band) reactions — they ARE row cy — and plane 1 the
+    # down-band reactions (row cy+1, rolled down by the XLA epilogue);
+    # the target-side register accumulators are added at the end.
+    for c in range(4):
+        out_ref[c, 0, 0, 0] = zero
+        out_ref[c, 1, 0, 0] = zero
+    acc = (zero, zero, zero, zero)
+    acc = band_pass(b_mid, mid_half, mid_base, jm_mid, acc, plane=0)
+    fx, fy, fz, vir = band_pass(b_down, down_full, down_base, jm_down, acc,
+                                plane=1)
 
-    out_ref[0, 0, 0, 0] = fx
-    out_ref[1, 0, 0, 0] = fy
-    out_ref[2, 0, 0, 0] = fz
+    out_ref[0, 0, 0, 0] = out_ref[0, 0, 0, 0] + fx
+    out_ref[1, 0, 0, 0] = out_ref[1, 0, 0, 0] + fy
+    out_ref[2, 0, 0, 0] = out_ref[2, 0, 0, 0] + fz
     out_ref[3, 0, 0, 0] = vir
-    out_ref[0, 1, 0, 0] = dbx
-    out_ref[1, 1, 0, 0] = dby
-    out_ref[2, 1, 0, 0] = dbz
-    out_ref[3, 1, 0, 0] = zero
 
 
 def _auto_z_chunks(n_chan: int, k: int, nz: int, w_lane: int,
@@ -341,14 +365,15 @@ def _auto_z_chunks(n_chan: int, k: int, nz: int, w_lane: int,
 
 @partial(jax.jit, static_argnames=("dt", "cfg", "rng_mode", "rng_rounds",
                                    "interpret", "s_exp", "z_chunks",
-                                   "dyn_roll"))
+                                   "dyn_roll", "debug_pairs"))
 def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
                             mask: Array, box: Box, step: Array,
                             params: DPDParams, dt: float, cfg: CellConfig,
                             rng_mode: str = "fast", rng_rounds: int = 8,
                             interpret: bool | None = None,
                             s_exp: float = 1.0, z_chunks: int = 0,
-                            dyn_roll: bool = False):
+                            dyn_roll: bool = False,
+                            debug_pairs: bool = False):
     """Forces for bucket-resident rows via the Newton fused-lane kernel.
 
     Interface matches ``bucket_forces_pallas_fused`` (its bit-reference up
@@ -412,10 +437,17 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
     l_log = body_z * w_lane
     l_lane = (-(-l_log // 128) * 128) if dyn_roll else l_log
 
+    # pad capacity to a multiple of 8: every kernel source group is then
+    # sublane-aligned (see _groups); pad slots carry VALID=0 zeros
+    kp = -(-k // 8) * 8
+
     def prep(stack):
-        """(C, ny, nz, k, nx) -> cy-padded (C, ny+2, zc, k, L) view."""
+        """(C, ny, nz, k, nx) -> cy-padded (C, ny+2, zc, kp, L) view."""
+        if kp > k:
+            stack = jnp.pad(
+                stack, [(0, 0), (0, 0), (0, 0), (0, kp - k), (0, 0)])
         c_dim = stack.shape[0]
-        planes = stack.transpose(0, 1, 3, 2, 4)     # (C, ny, k, nz, nx)
+        planes = stack.transpose(0, 1, 3, 2, 4)     # (C, ny, kp, nz, nx)
         if z_halo:
             zpad = jnp.concatenate(
                 [planes[..., -1:, :], planes, planes[..., :1, :]], axis=3)
@@ -426,7 +458,7 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
             chunks = planes[:, :, None]             # (C, ny, 1, k, nz, nx)
         chunks = jnp.concatenate(
             [chunks[..., -xr:], chunks, chunks[..., :xr]], axis=-1)
-        vw = chunks.reshape(c_dim, ny, zc, k, l_log)
+        vw = chunks.reshape(c_dim, ny, zc, kp, l_log)
         if l_lane > l_log:
             vw = jnp.pad(vw, [(0, 0)] * 4 + [(0, l_lane - l_log)])
         return jnp.concatenate([vw[:, -1:], vw, vw[:, :1]], axis=1)
@@ -476,7 +508,7 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
 
     def band_spec(dy):
         return pl.BlockSpec(
-            (n_chan, 1, 1, k, l_lane),
+            (n_chan, 1, 1, kp, l_lane),
             index_map=lambda cy, cb: (0, cy + dy, cb, 0, 0),
             memory_space=pltpu.VMEM)
 
@@ -494,18 +526,19 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
     ]
 
     out = pl.pallas_call(
-        partial(_v3_kernel, k=k, w_lane=w_lane, l_lane=l_lane,
+        partial(_v3_kernel, k=kp, w_lane=w_lane, l_lane=l_lane,
                 rng_mode=rng_mode, rng_rounds=rng_rounds, n_chan=n_chan,
                 n_types=n_types, typ_chan=typ_chan, tag_chan=tag_chan,
                 n_excl=n_excl, ex_chan=ex_chan, s_exp=s_exp, xr=xr,
-                dyn_roll=dyn_roll, nx=nx, nzc=nzc, zc=zc, z_halo=z_halo),
+                dyn_roll=dyn_roll, nx=nx, nzc=nzc, zc=zc, z_halo=z_halo,
+                debug_pairs=debug_pairs),
         grid=(ny, zc),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (4, 2, 1, 1, k, l_lane),
+            (4, 2, 1, 1, kp, l_lane),
             index_map=lambda cy, cb: (0, 0, cy, cb, 0, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, 2, ny, zc, k, l_lane),
+        out_shape=jax.ShapeDtypeStruct((4, 2, ny, zc, kp, l_lane),
                                        jnp.float32),
         interpret=interpret,
     )(scal, iscal, tab, jm, offs, view, view)
@@ -513,7 +546,7 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
     # epilogue: combine the reaction plane (targets row cy+1) into its row,
     # then harvest reactions that landed on pad lanes onto the real twins
     combined = out[:, 0] + jnp.roll(out[:, 1], 1, axis=1)
-    arr = combined[..., :l_log].reshape(4, ny, zc, k, body_z, w_lane)
+    arr = combined[..., :l_log].reshape(4, ny, zc, kp, body_z, w_lane)
     core = arr[..., xr:xr + nx]
     # x wrap pads: left pads are twins of the LAST xr columns, right pads
     # of the first xr
@@ -527,8 +560,9 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
         zcore = zcore.at[:, :, :, :, 0, :].add(
             jnp.roll(core[:, :, :, :, -1, :], 1, axis=2))
         core = zcore
-    # (4, ny, zc, k, nzc, nx) -> (4, ny, nz, k, nx) -> rows
-    out4 = core.transpose(0, 1, 2, 4, 3, 5).reshape(4, ny, nz, k, nx)
+    # (4, ny, zc, kp, nzc, nx) -> (4, ny, nz, kp, nx) -> drop pad slots
+    out4 = core.transpose(0, 1, 2, 4, 3, 5).reshape(4, ny, nz, kp, nx)
+    out4 = out4[:, :, :, :k]
     f = jnp.stack([out4[0].reshape(nr), out4[1].reshape(nr),
                    out4[2].reshape(nr)], axis=-1)
     return f, jnp.sum(out4[3])

@@ -1,14 +1,20 @@
 """Round-3 consolidated device session: v3 kernel validation + perf ladder
 in ONE process (one client, no mid-compile kills; CLAUDE.md r3 rules).
 
+STATIC-first (2026-08-17): the dyn_roll path miscompiles on this device
+toolchain (tools/v3_discriminate.py: rel ~0.6 at every shape, identical
+before/after the reaction-assembly restructure — the traced-offset
+tpu.dynamic_rotate composition itself is wrong); the static-unroll path
+is the production candidate and is gated here against the dense oracle
+on every r2 miscompile trigger shape BEFORE any default flips.
+
 Stages (each prints incrementally, flush=True):
-  1. v3 dyn_roll compile probe (small spill config) + oracle parity
-  2. v2 vs v3(dyn) timing at 98k and 1M (fused production loop)
+  1. v3 STATIC parity gate: spill/strict at the r2 trigger shapes,
+     spill+tea (VERDICT item 2), z-chunked, padded-capacity
+  2. v2 vs v3 timing at 98k and 1M (fused production loop), v3+tea at 1M
   3. rebuild engine gather-vs-sort timing at 1M
-  4. compiled v3(dyn) parity matrix incl. spill+tea (the r2 miscompile
-     combinations)
-  5. (optional, env MESO_R3_STATIC=1) v3 static-unroll compile probe —
-     riskiest compile LAST
+  4. informational dyn_roll probe (expected FAIL; recorded for the
+     miscompile registry)
 
 Run: nohup python tools/r3_session.py > /tmp/r3_session.log 2>&1 &
 with NO outer timeout below 2h; poll the log.
@@ -41,8 +47,8 @@ from meso_tpu.ops.dpd import DPDParams, dense_forces
 PARAMS = DPDParams.build(a=25.0, gamma=4.5, rc=1.0, kt=1.0, seed=77)
 
 
-def parity(l, n, skin, cap=None, spill=False, rng="fast", dyn=True,
-           tol=5e-5, label=""):
+def parity(l, n, skin, cap=None, spill=False, rng="fast", dyn=False,
+           zc=0, tol=5e-5, label=""):
     box = Box.cubic(l)
     st = create_random(jax.random.PRNGKey(3), n, box, kt=1.0)
     cfg = CellConfig.for_box([l] * 3, rc=1.0, density=n / l ** 3, skin=skin,
@@ -50,10 +56,16 @@ def parity(l, n, skin, cap=None, spill=False, rng="fast", dyn=True,
     bst = to_bucket_state(st, cfg)
     step = jnp.int32(42)
     t0 = time.time()
-    f_p, vir_p = bucket_forces_pallas_v3(
-        bst.x, bst.v, bst.typ, bst.tag, bst.mask, box, step, PARAMS, 0.01,
-        cfg, rng_mode=rng, interpret=False, dyn_roll=dyn)
-    jax.block_until_ready(f_p)
+    try:
+        f_p, vir_p = bucket_forces_pallas_v3(
+            bst.x, bst.v, bst.typ, bst.tag, bst.mask, box, step, PARAMS,
+            0.01, cfg, rng_mode=rng, interpret=False, dyn_roll=dyn,
+            z_chunks=zc)
+        jax.block_until_ready(f_p)
+    except Exception as e:
+        print(f"ERROR {label}: {type(e).__name__}: {str(e)[:500]}",
+              flush=True)
+        return False
     tc = time.time() - t0
     f_d, vir_d, _ = dense_forces(bst.x, bst.v, bst.typ, bst.tag, bst.mask,
                                  box, step, PARAMS, 0.01, rng_mode=rng)
@@ -63,32 +75,38 @@ def parity(l, n, skin, cap=None, spill=False, rng="fast", dyn=True,
     verr = abs(float(vir_p) - float(vir_d)) / abs(float(vir_d))
     ok = err < tol and verr < 1e-3
     print(f"{'PASS' if ok else 'FAIL'} {label} l={l} ncell={cfg.ncell} "
-          f"K={cfg.capacity} spill={cfg.spill} rng={rng} dyn={dyn}: "
+          f"K={cfg.capacity} spill={cfg.spill} rng={rng} dyn={dyn} zc={zc}: "
           f"rel={err:.2e} vir={verr:.2e} compile={tc:.0f}s", flush=True)
     return ok
 
 
 def timing(l, kernel, rengine="gather", skin=0.4, every=3, steps=60,
            rng="fast"):
-    system, params, state = classic_fluid(
-        l=l, rebuild_every=every, skin=skin, rng_mode=rng,
-        force_path="pallas", pair_kernel=kernel, rebuild=rengine)
-    n = int(state.n_valid())
-    nch = max(steps // every, 1)
-    t0 = time.time()
-    state, diag = run_bucket_chunked(system, params, state, nch, every)
-    jax.block_until_ready(state.x)
-    tc = time.time() - t0
-    t0 = time.time()
-    state, diag = run_bucket_chunked(system, params, state, nch, every)
-    jax.block_until_ready(state.x)
+    try:
+        system, params, state = classic_fluid(
+            l=l, rebuild_every=every, skin=skin, rng_mode=rng,
+            force_path="pallas", pair_kernel=kernel, rebuild=rengine)
+        n = int(state.n_valid())
+        nch = max(steps // every, 1)
+        t0 = time.time()
+        state, diag = run_bucket_chunked(system, params, state, nch, every)
+        jax.block_until_ready(state.x)
+        tc = time.time() - t0
+        t0 = time.time()
+        state, diag = run_bucket_chunked(system, params, state, nch, every)
+        jax.block_until_ready(state.x)
+    except Exception as e:
+        print(f"ERROR timing l={l} kern={kernel}: {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
+        return None
     dt = (time.time() - t0) / (nch * every)
     kt = float(kinetic_temperature(state.v, params.mass[state.typ],
                                    state.mask))
     of = float(np.max(np.asarray(diag.get("bucket_overflow", 0))))
     print(f"TIMING l={l} n={n} kern={kernel} rb={rengine} skin={skin} "
-          f"every={every}: {dt * 1e3:.1f} ms/step ({n / dt:.3e} ps/s) "
-          f"kT={kt:.4f} of={of:.0f} compile+warm={tc:.0f}s", flush=True)
+          f"every={every} rng={rng}: {dt * 1e3:.1f} ms/step "
+          f"({n / dt:.3e} ps/s) kT={kt:.4f} of={of:.0f} "
+          f"compile+warm={tc:.0f}s", flush=True)
     return dt
 
 
@@ -115,26 +133,30 @@ def rebuild_timing(l=70.0, skin=0.4, spill=True):
 
 
 if __name__ == "__main__":
-    print("=== stage 1: v3 dyn compile probe ===", flush=True)
-    ok = parity(8.0, 1536, 0.3, spill=True, dyn=True, label="probe")
-    if not ok:
-        print("ABORT: v3 dyn probe failed", flush=True)
+    print("=== stage 1: v3 STATIC parity gate ===", flush=True)
+    oks = []
+    oks.append(parity(8.0, 1536, 0.3, spill=True, label="spill-small"))
+    oks.append(parity(8.0, 1536, 0.3, label="strict-small"))
+    if not any(oks):
+        print("ABORT: v3 static does not run on device", flush=True)
         sys.exit(1)
+    oks.append(parity(8.0, 1536, 0.3, spill=True, rng="tea",
+                      label="spill-tea"))
+    oks.append(parity(8.0, 1536, 0.3, rng="tea", label="strict-tea"))
+    oks.append(parity(12.0, 5184, 0.4, spill=True, label="mid-spill"))
+    oks.append(parity(9.0, 2187, 0.3, zc=3, label="zc3"))
+    oks.append(parity(8.0, 1536, 0.3, cap=28, label="padK28"))
+    gate = all(oks)
+    print(f"STATIC GATE: {'ALL PASS' if gate else 'FAILURES'}", flush=True)
     print("=== stage 2: timing ladder ===", flush=True)
     timing(32.0, "v2")
-    timing(32.0, "v3_dynroll")
+    timing(32.0, "v3")
     timing(70.0, "v2", steps=30)
-    timing(70.0, "v3_dynroll", steps=30)
+    timing(70.0, "v3", steps=30)
+    if oks[2]:
+        timing(70.0, "v3", steps=30, rng="tea")
     print("=== stage 3: rebuild engines at 1M ===", flush=True)
     rebuild_timing()
-    print("=== stage 4: v3 parity matrix ===", flush=True)
-    parity(8.0, 1536, 0.3, dyn=True, label="strict-small")
-    parity(8.0, 1536, 0.3, spill=True, rng="tea", dyn=True,
-           label="spill-tea")
-    parity(8.0, 1536, 0.3, rng="tea", dyn=True, label="strict-tea")
-    parity(12.0, 5184, 0.4, spill=True, dyn=True, label="mid-spill")
-    parity(8.0, 1536, 0.3, cap=28, dyn=True, label="oddK")
-    if os.environ.get("MESO_R3_STATIC") == "1":
-        print("=== stage 5: v3 static compile probe ===", flush=True)
-        parity(8.0, 1536, 0.3, spill=True, dyn=False, label="static")
+    print("=== stage 4: dyn_roll informational probe ===", flush=True)
+    parity(8.0, 1536, 0.3, spill=True, dyn=True, label="dyn-info")
     print("R3_SESSION_DONE", flush=True)
