@@ -90,6 +90,12 @@ class System:
     #                               band-ref path (TPU_SUITE r2) — keep off
     #                               on device until the suite INFO line
     #                               reads < 3e-3
+    dd_overlap: bool = True       # domain-decomposed classic pallas path:
+    #                               border/inner split so the interior
+    #                               kernel call carries no data dependency
+    #                               on the halo permutes (comm/compute
+    #                               overlap, SURVEY row 28); False = one
+    #                               kernel call over the padded brick
     bond_style: str | None = None  # "fene" | "harmonic" | "wlc_pow"
     n_tags: int = 0               # max particle tag (bonded topology space)
     n_mols: int = 0               # molecule count (membrane reductions)

@@ -279,26 +279,37 @@ def _halo_forces(state: State, system: System, params: SystemParams,
 # distributed step + loop
 # ---------------------------------------------------------------------------
 
-def _halo_channels_1d(channels: dict, dcfg: DomainConfig, width: int = 1):
+def _halo_columns_1d(channels: dict, dcfg: DomainConfig, width: int = 1):
     """x-halo exchange per channel (ppermute ring) with wrap-shifted x.
 
     ``width``: boundary columns shipped per side — 1 for strict buckets,
     2 for the right-spill layout (slot-cell may exceed true cell by one;
-    VERDICT r3 item 3)."""
+    VERDICT r3 item 3). Returns (halo_left, halo_right) dicts so callers
+    can keep the collectives' results SEPARATE from the local planes (the
+    border/inner overlap split needs the interior compute to carry no data
+    dependency on the permutes)."""
     n = dcfg.n_dev
     fwd = [(i, (i + 1) % n) for i in range(n)]
     bwd = [(i, (i - 1) % n) for i in range(n)]
     me = jax.lax.axis_index(AXIS)
     lx = jnp.float32(dcfg.lx_global)
-    out = {}
+    halo_l, halo_r = {}, {}
     for name, p in channels.items():
         hl = jax.lax.ppermute(p[..., -width:], AXIS, fwd)
         hr = jax.lax.ppermute(p[..., :width], AXIS, bwd)
         if name == "x":
             hl = hl + jnp.where(me == 0, -lx, 0.0)
             hr = hr + jnp.where(me == n - 1, lx, 0.0)
-        out[name] = jnp.concatenate([hl, p, hr], axis=-1)
-    return out
+        halo_l[name], halo_r[name] = hl, hr
+    return halo_l, halo_r
+
+
+def _halo_channels_1d(channels: dict, dcfg: DomainConfig, width: int = 1):
+    """x-halo exchange, concatenated: [halo_left | local | halo_right]."""
+    halo_l, halo_r = _halo_columns_1d(channels, dcfg, width)
+    return {name: jnp.concatenate([halo_l[name], channels[name],
+                                   halo_r[name]], axis=-1)
+            for name in channels}
 
 
 def _halo_forces_model_pallas(state: State, system: System,
@@ -426,20 +437,60 @@ def _halo_forces_pallas(state: State, system: System, params: SystemParams,
         ex = params.pair.excl[state.tag]
         for e in range(n_excl):
             channels[f"EX{e}"] = ex[:, e].reshape(channels["tag"].shape)
-    padded = _halo_channels_1d(channels, dcfg,
-                               width=2 if cfg.spill else 1)
+    xr = 2 if cfg.spill else 1
     if banded:
+        padded = _halo_channels_1d(channels, dcfg, width=xr)
         return halo_forces_pallas_1d(padded, state.box, step, params.pair,
                                      system.dt, cfg,
                                      rng_mode=system.rng_mode,
                                      rng_rounds=system.rng_rounds,
                                      n_types=n_types)
-    return halo_forces_pallas_fused(padded, state.box, step, params.pair,
-                                    system.dt, cfg, ext=("x",),
-                                    rng_mode=system.rng_mode,
-                                    rng_rounds=system.rng_rounds,
-                                    s_exp=system.s_exp, n_types=n_types,
-                                    n_excl=n_excl, vma=("x",))
+    kw = dict(rng_mode=system.rng_mode, rng_rounds=system.rng_rounds,
+              s_exp=system.s_exp, n_types=n_types, n_excl=n_excl,
+              vma=("x",))
+    nx, ny, nz = cfg.ncell
+    if not (getattr(system, "dd_overlap", True) and nx >= 2 * xr + 1):
+        padded = _halo_channels_1d(channels, dcfg, width=xr)
+        return halo_forces_pallas_fused(padded, state.box, step,
+                                        params.pair, system.dt, cfg,
+                                        ext=("x",), **kw)
+
+    # Border/inner comm/compute OVERLAP on the fused kernel (SURVEY row 28,
+    # VERDICT r2 weak #5 — the reference's stream pipeline, comm_meso.cu):
+    # 1) issue the halo permutes; 2) sweep INTERIOR target columns
+    # [xr, nx-xr) from the purely local planes — no data dependency on the
+    # collectives, so XLA's latency-hiding scheduler runs them
+    # concurrently; 3) sweep the xr-wide boundary column groups from small
+    # windows that include the received halos; 4) stitch along x. Each
+    # call discards its own window's ghost columns, and the kernel is not
+    # Newton-folded across targets, so no pair is double-counted.
+    import dataclasses as _dc
+
+    k = cfg.capacity
+    nr = ny * nz * k * nx
+    halo_l, halo_r = _halo_columns_1d(channels, dcfg, width=xr)
+    cfg_inner = _dc.replace(cfg, ncell=(nx - 2 * xr, ny, nz))
+    cfg_edge = _dc.replace(cfg, ncell=(xr, ny, nz))
+    f_int, vir_int = halo_forces_pallas_fused(
+        channels, state.box, step, params.pair, system.dt, cfg_inner,
+        ext=("x",), **kw)
+    win_l = {nm: jnp.concatenate(
+        [halo_l[nm], channels[nm][..., :2 * xr]], axis=-1)
+        for nm in channels}
+    win_r = {nm: jnp.concatenate(
+        [channels[nm][..., -2 * xr:], halo_r[nm]], axis=-1)
+        for nm in channels}
+    f_l, vir_l = halo_forces_pallas_fused(
+        win_l, state.box, step, params.pair, system.dt, cfg_edge,
+        ext=("x",), **kw)
+    f_r, vir_r = halo_forces_pallas_fused(
+        win_r, state.box, step, params.pair, system.dt, cfg_edge,
+        ext=("x",), **kw)
+    f = jnp.concatenate(
+        [f_l.reshape(ny, nz, k, xr, 3), f_int.reshape(
+            ny, nz, k, nx - 2 * xr, 3), f_r.reshape(ny, nz, k, xr, 3)],
+        axis=3).reshape(nr, 3)
+    return f, vir_int + vir_l + vir_r
 
 
 def _bonded_ghost_rows(state: State, dcfg: DomainConfig, x1: Array,

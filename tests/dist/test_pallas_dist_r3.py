@@ -153,3 +153,35 @@ def test_model_fused_dist_spill_matches_single_chip():
     assert np.abs(dist["x"] - ref["x"]).max() < 1e-4
     assert np.abs(dist["v"] - ref["v"]).max() < 1e-3
     assert np.abs(dist["T"] - ref["T"]).max() < 1e-4
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("spill", [False, True])
+def test_dd_overlap_split_matches_monolithic(spill):
+    """The border/inner overlap split (SURVEY row 28: interior kernel call
+    with no data dependency on the halo permutes + boundary-window calls)
+    computes the same trajectory as the single padded-brick kernel call —
+    same sources per target, so only the call partitioning differs."""
+    if spill:
+        system, params, state, lx = _fluid_spill(n_dev=2)
+    else:
+        rc, skin = 1.0, 0.2
+        side = rc + skin
+        density = 3.0
+        lx, lyz = 2 * 3 * side, 4 * side
+        box = Box.orthorhombic(lx, lyz, lyz)
+        st = create_random(jax.random.PRNGKey(17),
+                           int(round(density * lx * lyz * lyz)), box, kt=1.0)
+        params = SystemParams.build(DPDParams.build(
+            a=25.0, gamma=4.5, rc=rc, kt=1.0, seed=31))
+        system = System.for_fluid([lx, lyz, lyz], rc=rc, density=density,
+                                  dt=0.01, skin=skin, rng_mode="fast",
+                                  rebuild_every=3).replace(
+                                      force_path="pallas")
+        state = setup(system.replace(force_path="dense"), params, st)
+    outs = {}
+    for ov in (True, False):
+        outs[ov] = _bytag(_run_dist(system.replace(dd_overlap=ov), params,
+                                    state, lx, 2))
+    assert np.abs(outs[True]["x"] - outs[False]["x"]).max() < 1e-6
+    assert np.abs(outs[True]["v"] - outs[False]["v"]).max() < 1e-5

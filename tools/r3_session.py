@@ -155,6 +155,10 @@ if __name__ == "__main__":
     timing(70.0, "v3", steps=30)
     if oks[2]:
         timing(70.0, "v3", steps=30, rng="tea")
+    # skin sweep inside the K=16 band: cell 1.45-1.47 cuts row count ~15%
+    # (47-48^3 x 16 vs 50^3 x 16) and stretches the rebuild cadence
+    timing(70.0, "v3", skin=0.47, every=5, steps=30)
+    timing(70.0, "v3", skin=0.45, every=4, steps=32)
     print("=== stage 3: rebuild engines at 1M ===", flush=True)
     rebuild_timing()
     print("=== stage 4: dyn_roll informational probe ===", flush=True)
