@@ -340,12 +340,49 @@ def _halo_forces_model_pallas(state: State, system: System,
     n_types = params.pair.a.shape[0]
     if n_types > 1:
         channels["typ"] = state.typ.reshape(channels["tag"].shape)
-    padded = _halo_channels_1d(channels, dcfg,
-                               width=2 if cfg.spill else 1)
-    f, ex, virial = halo_forces_pallas_model_fused(
-        padded, state.box, step, params.pair, system.dt, cfg,
-        model=system.model, ns=ns, ext=("x",), rng_mode=system.rng_mode,
-        rng_rounds=system.rng_rounds, n_types=n_types, vma=("x",))
+    kw = dict(model=system.model, ns=ns, ext=("x",),
+              rng_mode=system.rng_mode, rng_rounds=system.rng_rounds,
+              n_types=n_types, vma=("x",))
+    xr = 2 if cfg.spill else 1
+    nx, ny, nz = cfg.ncell
+    if not (getattr(system, "dd_overlap", True) and nx >= 2 * xr + 1):
+        padded = _halo_channels_1d(channels, dcfg, width=xr)
+        f, ex, virial = halo_forces_pallas_model_fused(
+            padded, state.box, step, params.pair, system.dt, cfg, **kw)
+    else:
+        # border/inner overlap split, same structure as the classic path
+        # (_halo_forces_pallas): interior call on the purely local planes
+        # overlaps the halo permutes; xr-wide boundary groups follow
+        import dataclasses as _dc
+
+        halo_l, halo_r = _halo_columns_1d(channels, dcfg, width=xr)
+        cfg_inner = _dc.replace(cfg, ncell=(nx - 2 * xr, ny, nz))
+        cfg_edge = _dc.replace(cfg, ncell=(xr, ny, nz))
+        f_i, ex_i, vir_i = halo_forces_pallas_model_fused(
+            channels, state.box, step, params.pair, system.dt, cfg_inner,
+            **kw)
+        win_l = {nm: jnp.concatenate(
+            [halo_l[nm], channels[nm][..., :2 * xr]], axis=-1)
+            for nm in channels}
+        win_r = {nm: jnp.concatenate(
+            [channels[nm][..., -2 * xr:], halo_r[nm]], axis=-1)
+            for nm in channels}
+        f_l, ex_l, vir_l = halo_forces_pallas_model_fused(
+            win_l, state.box, step, params.pair, system.dt, cfg_edge, **kw)
+        f_r, ex_r, vir_r = halo_forces_pallas_model_fused(
+            win_r, state.box, step, params.pair, system.dt, cfg_edge, **kw)
+
+        def stitch(al, ai, ar):
+            tail = al.shape[1:]   # (3,) for f, () for dTdt, (ns,) for dCdt
+            return jnp.concatenate(
+                [al.reshape((ny, nz, k, xr) + tail),
+                 ai.reshape((ny, nz, k, nx - 2 * xr) + tail),
+                 ar.reshape((ny, nz, k, xr) + tail)],
+                axis=3).reshape((ny * nz * k * nx,) + tail)
+
+        f = stitch(f_l, f_i, f_r)
+        ex = stitch(ex_l, ex_i, ex_r)
+        virial = vir_i + vir_l + vir_r
     aux = {"virial": virial}
     if system.model == "edpd":
         aux["dTdt"] = ex
