@@ -36,9 +36,11 @@ def run_config(l, path, skin, every, nsteps, equil=399):
     rng_mode = os.environ.get("MESO_BENCH_RNG", "fast")
     kernel = os.environ.get("MESO_BENCH_KERNEL", "v2")
     rengine = os.environ.get("MESO_BENCH_REBUILD_ENGINE", "gather")
+    wrap_mode = os.environ.get("MESO_BENCH_WRAP", "step")
     system, params, state = classic_fluid(
         l=l, rebuild_every=every, skin=skin, rng_mode=rng_mode,
-        force_path=path, pair_kernel=kernel, rebuild=rengine)
+        force_path=path, pair_kernel=kernel, rebuild=rengine,
+        wrap_mode=wrap_mode)
     n = int(state.n_valid())
     fused = path in ("pallas", "bucket")
 
@@ -74,6 +76,7 @@ def run_config(l, path, skin, every, nsteps, equil=399):
         "force_path": path,
         "pair_kernel": kernel,
         "rebuild_engine": rengine,
+        "wrap_mode": wrap_mode,
         "rng_mode": rng_mode,
         "device": str(jax.devices()[0]),
         # launch-shape knobs in effect (SURVEY 2b row 29)

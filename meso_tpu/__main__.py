@@ -72,7 +72,8 @@ def main(argv=None):
         from meso_tpu.utils.autotune import autotune_fluid
 
         def make_system(skin, every, spill=None, z_chunks=None,
-                        pair_kernel=None, rebuild=None, capacity=None):
+                        pair_kernel=None, rebuild=None, capacity=None,
+                        wrap_mode=None):
             import dataclasses as _dc
             d = dict(deck)
             neigh = dict(d.get("neighbor", {}))
@@ -93,11 +94,15 @@ def main(argv=None):
                 cell_kw["rebuild"] = rebuild
             if capacity is not None:
                 cell_kw["capacity"] = capacity
+            if wrap_mode is not None:
+                cell_kw["wrap_at_rebuild"] = wrap_mode == "rebuild"
             sy = sy.replace(cells=_dc.replace(sy.cells, **cell_kw))
             if z_chunks is not None:
                 sy = sy.replace(z_chunks=z_chunks)
             if pair_kernel is not None:
                 sy = sy.replace(pair_kernel=pair_kernel)
+            if wrap_mode is not None:
+                sy = sy.replace(wrap_mode=wrap_mode)
             return sy
 
         print("autotuning (skin, cadence, spill, z_chunks, kernel, "
@@ -107,7 +112,8 @@ def main(argv=None):
         system = make_system(best.skin, best.rebuild_every,
                              spill=best.spill, z_chunks=best.z_chunks,
                              pair_kernel=best.pair_kernel,
-                             rebuild=best.rebuild, capacity=best.capacity)
+                             rebuild=best.rebuild, capacity=best.capacity,
+                             wrap_mode=best.wrap_mode or None)
         from meso_tpu.core.system import setup as _setup
         state = _setup(system, params, state)
     logger = ThermoLogger(every=run_cfg.thermo_every, jsonl_path=args.log)

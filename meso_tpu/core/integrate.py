@@ -28,17 +28,23 @@ Array = jax.Array
 
 def initial_integrate(x: Array, v: Array, f: Array, image: Array, box: Box,
                       dt: float, lam: float, inv_mass: Array,
-                      move_mask: Array):
+                      move_mask: Array, wrap: bool = True):
     """Predictor: returns (x_new, image_new, v_tilde).
 
     ``v_tilde`` is the half-advanced velocity the dissipative force is
     evaluated with; the true velocity ``v`` is untouched until the corrector.
+    ``wrap=False`` (System.wrap_mode="rebuild"): positions drift out of the
+    box by <= skin/2 between rebuilds and the rebuild wraps them — removes
+    mid-window global-wrap crossers so the pair kernel can skip min-image.
     """
     m = move_mask[:, None]
     a = f * inv_mass[:, None]
     v_tilde = jnp.where(m, v + (lam * dt) * a, v)
     x_new = jnp.where(m, x + dt * v + (0.5 * dt * dt) * a, x)
-    x_new, image_new = box.wrap(x_new, image)
+    if wrap:
+        x_new, image_new = box.wrap(x_new, image)
+    else:
+        image_new = image
     return x_new, image_new, v_tilde
 
 

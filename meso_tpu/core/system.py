@@ -90,6 +90,16 @@ class System:
     #                               band-ref path (TPU_SUITE r2) — keep off
     #                               on device until the suite INFO line
     #                               reads < 3e-3
+    wrap_mode: str = "step"       # "step": box-wrap positions every step
+    #                               (reference semantics). "rebuild": defer
+    #                               wrapping to rebuild time — positions
+    #                               drift out of the box by <= skin/2
+    #                               within a window, eliminating mid-window
+    #                               global-wrap crossers so the v3 kernel
+    #                               drops per-candidate min-image (12 VPU
+    #                               ops) and the validity product. Requires
+    #                               a bucket-resident force path and no
+    #                               post_integrate fixes (walls).
     dd_overlap: bool = True       # domain-decomposed classic pallas path:
     #                               border/inner split so the interior
     #                               kernel call carries no data dependency
@@ -113,12 +123,14 @@ class System:
     def for_fluid(box_lengths, rc: float, density: float, dt: float = 0.01,
                   skin: float = 0.3, rebuild_every: int = 10,
                   spill: bool = False, rebuild: str = "gather",
-                  **kw) -> "System":
+                  capacity: int | None = None, **kw) -> "System":
         """Convenience constructor sizing cells and list capacity from density."""
         from meso_tpu.neighbor.nlist import neighbor_capacity
-        cfg = CellConfig.for_box(box_lengths, rc, density, skin=skin,
-                                 rebuild_every=rebuild_every, spill=spill,
-                                 rebuild=rebuild)
+        cfg = CellConfig.for_box(
+            box_lengths, rc, density, skin=skin,
+            rebuild_every=rebuild_every, spill=spill, rebuild=rebuild,
+            capacity=capacity,
+            wrap_at_rebuild=kw.get("wrap_mode", "step") == "rebuild")
         m = neighbor_capacity(density, rc, skin)
         return System(dt=dt, force_path="nlist", cells=cfg, nlist_m=m,
                       rc_max=rc, **kw)
@@ -302,6 +314,16 @@ def make_step(system: System, with_aux: bool = False):
     with_aux=True: step_fn returns (state, aux) where aux carries the pair
     'virial' (device-side thermo without a second force pass)."""
 
+    wrap_each_step = system.wrap_mode != "rebuild"
+    if not wrap_each_step:
+        if system.force_path not in ("bucket", "pallas", "pallas_banded"):
+            raise ValueError("wrap_mode='rebuild' requires a "
+                             "bucket-resident force path")
+        if any(hasattr(fx, "post_integrate") for fx in system.fixes):
+            raise ValueError("wrap_mode='rebuild' is incompatible with "
+                             "post_integrate fixes (walls need in-box "
+                             "positions every step)")
+
     def step_fn(params: SystemParams, state: State, nlist_idx=None):
         inv_m = params.inv_mass[state.typ]
         move = _move_mask(system, state.typ, state.mask)
@@ -310,7 +332,7 @@ def make_step(system: System, with_aux: bool = False):
         # --- initial_integrate (predictor + drift) ---
         x1, image1, v_tilde = initial_integrate(
             state.x, state.v, state.f, state.image, state.box,
-            system.dt, system.lam, inv_m, move)
+            system.dt, system.lam, inv_m, move, wrap=wrap_each_step)
 
         # --- post_integrate fixes (bounce-back walls etc.) ---
         for fx in system.fixes:

@@ -52,6 +52,11 @@ Array = jax.Array
 # channel indices in the stacked plane tensor
 _SX, _SY, _SZ, _VX, _VY, _VZ, _H, _VALID = range(8)
 
+# x-coordinate poison for invalid slots under wrap_at_rebuild (no
+# min-image): far outside any box, exact in f32, pairs of poisoned rows
+# give dr = 0 and die on the self-pair test
+_POISON = jnp.float32(4.0e4)
+
 
 def _groups(k: int):
     """8-row source group starts covering slots [0, k); k must be a
@@ -70,7 +75,7 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
                rng_rounds: int, n_chan: int, n_types: int, typ_chan: int,
                tag_chan: int, n_excl: int, ex_chan: int, s_exp: float,
                xr: int, dyn_roll: bool, nx: int, nzc: int, zc: int,
-               z_halo: bool, debug_pairs: bool):
+               z_halo: bool, debug_pairs: bool, min_image: bool):
     """One grid step = one (cy row, z-chunk).
 
     Inputs: scal, iscal, tab, jm, offs (SMEM); mid band block, down band
@@ -93,6 +98,7 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
     inv_ly = scal_ref[0, 8]
     inv_lz = scal_ref[0, 9]
     excl_w = scal_ref[0, 10]
+    inv_rc = scal_ref[0, 11]
     if rng_mode == "tea":
         step_u = iscal_ref[0, 0].astype(jnp.uint32)
         seed_u = iscal_ref[0, 1].astype(jnp.uint32)
@@ -153,37 +159,49 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
             a_ij = tab_ref[0, 0]
             g_ij = tab_ref[1, 0]
             s_ij = tab_ref[2, 0]
-            rc_ij = tab_ref[3, 0]
+            rc2_ij = tab_ref[3, 0]
+            irc_ij = tab_ref[4, 0]
             for p_i in range(1, n_types * n_types):
                 sel = code == jnp.float32(p_i)
                 a_ij = jnp.where(sel, tab_ref[0, p_i], a_ij)
                 g_ij = jnp.where(sel, tab_ref[1, p_i], g_ij)
                 s_ij = jnp.where(sel, tab_ref[2, p_i], s_ij)
-                rc_ij = jnp.where(sel, tab_ref[3, p_i], rc_ij)
+                rc2_ij = jnp.where(sel, tab_ref[3, p_i], rc2_ij)
+                irc_ij = jnp.where(sel, tab_ref[4, p_i], irc_ij)
         else:
-            a_ij, g_ij, s_ij, rc_ij = a, gamma, sigma_dt, rc
+            a_ij, g_ij, s_ij, irc_ij = a, gamma, sigma_dt, inv_rc
 
-        # minimum image on ALL axes (mid-window global wrap, PERF_NOTES.md)
         drx = selfc(_SX) - row[_SX]
-        drx = drx - jnp.round(drx * inv_lx) * lx
         dry = selfc(_SY) - row[_SY]
-        dry = dry - jnp.round(dry * inv_ly) * ly
         drz = selfc(_SZ) - row[_SZ]
-        drz = drz - jnp.round(drz * inv_lz) * lz
+        if min_image:
+            # minimum image on ALL axes (mid-window global wrap,
+            # PERF_NOTES.md). wrap_at_rebuild layouts skip this: the box
+            # wrap is deferred to rebuild time and wrap pads carry
+            # pre-shifted coordinates, so every intended pair has a small
+            # direct dr (12 fewer VPU ops per candidate).
+            drx = drx - jnp.round(drx * inv_lx) * lx
+            dry = dry - jnp.round(dry * inv_ly) * ly
+            drz = drz - jnp.round(drz * inv_lz) * lz
         r2 = drx * drx + dry * dry + drz * drz
         if n_types > 1:
-            ok = (r2 < rc_ij * rc_ij) & (rc2lane > 0.0)
+            ok = (r2 < rc2_ij) & (rc2lane > 0.0)
         else:
             # pad-lane mask rides the cutoff compare (rc2lane = -1 on pads)
             ok = r2 < rc2lane
-        ok = ok & (selfc(_VALID) * row[_VALID] > 0.5) & (r2 > 0.0)
+        if min_image:
+            ok = ok & (selfc(_VALID) * row[_VALID] > 0.5)
+        # else: invalid/pad slots carry poisoned x (4e4) — the cutoff
+        # compare rejects them for free; invalid-invalid pairs have dr = 0
+        # and die on the self-pair test below
+        ok = ok & (r2 > 0.0)
         if center_j is not None:
             # (0,0) same-column Newton rule: only slots above the source
             ok = ok & (s_iota < center_j)
         r2s = jnp.where(ok, r2, 1.0)
         rinv = jax.lax.rsqrt(r2s)
         rr = r2s * rinv
-        w = 1.0 - rr / rc_ij
+        w = 1.0 - rr * irc_ij
         if s_exp == 1.0:
             wr = w
         else:
@@ -203,7 +221,11 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
             hs = pltpu.bitcast(selfc(_H), jnp.uint32)
             hj = pltpu.bitcast(row[_H], jnp.uint32)
             theta = rngmod.pair_uniform_fast(hs, hj)
-        fmag = a_ij * w - g_ij * (wr * wr) * ev + s_ij * wr * theta
+        if s_exp == 1.0:
+            # factored form (wr == w): one fewer multiply chain
+            fmag = w * (a_ij - (g_ij * w) * ev + s_ij * theta)
+        else:
+            fmag = a_ij * w - g_ij * (wr * wr) * ev + s_ij * wr * theta
         fmag = jnp.where(ok, fmag, 0.0)
         if n_excl:
             tgj_x = pltpu.bitcast(row[tag_chan], jnp.int32)
@@ -385,6 +407,11 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
     k = cfg.capacity
     nr = x.shape[0]
     xr = 2 if cfg.spill else 1
+    # wrap_at_rebuild layouts (System.wrap_mode="rebuild"): positions are
+    # only box-wrapped at rebuild time, so no mid-window global-wrap
+    # crossers exist; the kernel drops per-candidate min-image and the
+    # validity product (pads pre-shifted by +-L, invalid slots x-poisoned)
+    min_image = not getattr(cfg, "wrap_at_rebuild", False)
     if nx < 2 * xr + 1:
         raise ValueError(f"ncx={nx} too small for the +-{xr} circular "
                          "x-window (needs ncx >= 2*xr+1)")
@@ -396,8 +423,12 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
     shape = (ny, nz, k, nx)
     bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
     vmask = mask.astype(jnp.float32).reshape(shape)
+    x0 = x[:, 0]
+    if not min_image:
+        # poison invalid slots: the cutoff compare masks them for free
+        x0 = jnp.where(mask, x0, _POISON)
     chans = [
-        x[:, 0].reshape(shape), x[:, 1].reshape(shape), x[:, 2].reshape(shape),
+        x0.reshape(shape), x[:, 1].reshape(shape), x[:, 2].reshape(shape),
         v[:, 0].reshape(shape), v[:, 1].reshape(shape), v[:, 2].reshape(shape),
         bc(h).reshape(shape), vmask,
     ]
@@ -425,14 +456,17 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
 
     zc = z_chunks
     if zc <= 0:
-        zc = _auto_z_chunks(n_chan, k, nz, w_lane, z_halo_always=dyn_roll)
+        zc = _auto_z_chunks(n_chan, k, nz, w_lane,
+                            z_halo_always=dyn_roll or not min_image)
     if nz % zc:
         raise ValueError(f"z_chunks={zc} must divide ncz={nz}")
     nzc = nz // zc
     # dyn_roll: tpu.dynamic_rotate needs a 128-aligned lane dim, so the
     # lane row is zero-padded up to a 128 multiple — which forbids relying
-    # on circular roll wrap for z periodicity, hence z halos always
-    z_halo = (zc > 1) or dyn_roll
+    # on circular roll wrap for z periodicity, hence z halos always.
+    # no-min-image mode likewise: z periodicity must come from shifted
+    # halo copies, not circular roll wrap + coordinate re-imaging
+    z_halo = (zc > 1) or dyn_roll or not min_image
     body_z = (nzc + 2) if z_halo else nz
     l_log = body_z * w_lane
     l_lane = (-(-l_log // 128) * 128) if dyn_roll else l_log
@@ -441,47 +475,71 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
     # sublane-aligned (see _groups); pad slots carry VALID=0 zeros
     kp = -(-k // 8) * 8
 
+    lens = box.lengths
+
     def prep(stack):
-        """(C, ny, nz, k, nx) -> cy-padded (C, ny+2, zc, kp, L) view."""
+        """(C, ny, nz, k, nx) -> cy-padded (C, ny+2, zc, kp, L) view.
+
+        Without min-image (wrap_at_rebuild), wrap-pad copies carry
+        pre-shifted coordinates (+-L on their own axis channel) and pad
+        slots are x-poisoned, so the kernel needs no re-imaging."""
+        c_dim = stack.shape[0]
+
+        def shifted(sl, chan, delta):
+            if min_image:
+                return sl
+            # shift ONLY the coordinate channel: arithmetic on the other
+            # channels (even + 0.0) canonicalizes NaN bit patterns and
+            # flushes denormals in the bitcast hash/tag channels, silently
+            # changing theta for wrapped pairs
+            return sl.at[chan].add(delta)
+
         if kp > k:
             stack = jnp.pad(
                 stack, [(0, 0), (0, 0), (0, 0), (0, kp - k), (0, 0)])
-        c_dim = stack.shape[0]
+            if not min_image:
+                stack = stack.at[_SX, :, :, k:, :].set(_POISON)
         planes = stack.transpose(0, 1, 3, 2, 4)     # (C, ny, kp, nz, nx)
         if z_halo:
             zpad = jnp.concatenate(
-                [planes[..., -1:, :], planes, planes[..., :1, :]], axis=3)
+                [shifted(planes[..., -1:, :], _SZ, -lens[2]), planes,
+                 shifted(planes[..., :1, :], _SZ, lens[2])], axis=3)
             chunks = jnp.stack(
                 [zpad[..., i * nzc:i * nzc + nzc + 2, :]
                  for i in range(zc)], axis=2)
         else:
             chunks = planes[:, :, None]             # (C, ny, 1, k, nz, nx)
         chunks = jnp.concatenate(
-            [chunks[..., -xr:], chunks, chunks[..., :xr]], axis=-1)
+            [shifted(chunks[..., -xr:], _SX, -lens[0]), chunks,
+             shifted(chunks[..., :xr], _SX, lens[0])], axis=-1)
         vw = chunks.reshape(c_dim, ny, zc, kp, l_log)
         if l_lane > l_log:
             vw = jnp.pad(vw, [(0, 0)] * 4 + [(0, l_lane - l_log)])
-        return jnp.concatenate([vw[:, -1:], vw, vw[:, :1]], axis=1)
+            if not min_image:
+                vw = vw.at[_SX, ..., l_log:].set(_POISON)
+        return jnp.concatenate(
+            [shifted(vw[:, -1:], _SY, -lens[1]), vw,
+             shifted(vw[:, :1], _SY, lens[1])], axis=1)
 
     view = prep(jnp.stack(chans))
 
     dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
-    lens = box.lengths
     scal = jnp.stack([
         params.a[0, 0], params.gamma[0, 0],
         params.sigma[0, 0] * dt_inv_sqrt, params.rc[0, 0],
         lens[0], lens[1], lens[2],
         1.0 / lens[0], 1.0 / lens[1], 1.0 / lens[2],
         jnp.float32(1.0) if params.excl_w is None else params.excl_w,
-        jnp.float32(0)]).reshape(1, 12)
+        1.0 / params.rc[0, 0]]).reshape(1, 12)
     iscal = jnp.stack([jnp.asarray(step, jnp.int32),
                        params.seed.astype(jnp.int32)]).reshape(1, 2)
     if n_types > 1:
         tab = jnp.stack([params.a.reshape(-1), params.gamma.reshape(-1),
                          params.sigma.reshape(-1) * dt_inv_sqrt,
-                         params.rc.reshape(-1)])
+                         (params.rc * params.rc).reshape(-1),
+                         (1.0 / params.rc).reshape(-1)])
     else:
-        tab = jnp.zeros((4, 1), jnp.float32)
+        tab = jnp.zeros((5, 1), jnp.float32)
 
     # per-(cy, chunk) occupancy bounds for the mid and down bands: max
     # occupied slot (+1) over the chunk's z-range +-1 (rolled sources mix
@@ -531,7 +589,7 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
                 n_types=n_types, typ_chan=typ_chan, tag_chan=tag_chan,
                 n_excl=n_excl, ex_chan=ex_chan, s_exp=s_exp, xr=xr,
                 dyn_roll=dyn_roll, nx=nx, nzc=nzc, zc=zc, z_halo=z_halo,
-                debug_pairs=debug_pairs),
+                debug_pairs=debug_pairs, min_image=min_image),
         grid=(ny, zc),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(

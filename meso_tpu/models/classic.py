@@ -21,12 +21,15 @@ def classic_fluid(l: float = 32.0, density: float = 3.0, kt: float = 1.0,
                   skin: float = 0.3, rebuild_every: int = 10,
                   rng_mode: str = "tea", force_path: str = "nlist",
                   spill: bool | None = None, pair_kernel: str = "v2",
-                  rebuild: str = "gather",
+                  rebuild: str = "gather", capacity: int | None = None,
+                  wrap_mode: str = "step",
                   ) -> tuple[System, SystemParams, State]:
     """Build (system, params, state) for the classic fluid, forces initialized.
 
     spill: right-spill bucket packing (K ~ 1.6x mean occupancy; fused
-    kernel only). Default: on for force_path="pallas"."""
+    kernel only). Default: on for force_path="pallas". capacity: explicit
+    bucket K (None = sized from density; the autotuner/bench sweep K
+    because candidate count scales as K^2/occupancy, SURVEY row 29)."""
     box = Box.cubic(l)
     n = int(round(density * l ** 3))
     state = create_random(jax.random.PRNGKey(init_seed), n, box, kt=kt)
@@ -40,7 +43,8 @@ def classic_fluid(l: float = 32.0, density: float = 3.0, kt: float = 1.0,
     system = System.for_fluid([l] * 3, rc=rc, density=density, dt=dt,
                               skin=skin, rebuild_every=rebuild_every,
                               rng_mode=rng_mode, spill=spill,
-                              rebuild=rebuild)
+                              rebuild=rebuild, capacity=capacity,
+                              wrap_mode=wrap_mode)
     if force_path != "nlist":
         system = system.replace(force_path=force_path)
     if pair_kernel != "v2":

@@ -168,6 +168,11 @@ def rebuild_buckets(state: State, cfg: CellConfig) -> tuple[State, Array]:
     falls back to gather otherwise). Both produce bitwise-identical
     placement.
     """
+    if cfg.wrap_at_rebuild:
+        # deferred global wrap (System.wrap_mode="rebuild"): positions may
+        # have drifted out of the box by <= skin/2 since the last rebuild
+        x_w, image_w = state.box.wrap(state.x, state.image)
+        state = state.replace(x=x_w, image=image_w)
     if getattr(cfg, "rebuild", "gather") == "sort" and state.n == n_rows(cfg):
         return rebuild_buckets_sort(state, cfg)
     return _rebuild_buckets_gather(state, cfg)
@@ -195,8 +200,12 @@ def _rebuild_buckets_gather(state: State, cfg: CellConfig) -> tuple[State,
     if cfg.spill:
         # Right-spill assignment (segmented prefix max — one
         # associative_scan, no extra sorts); see ``spill_assign``.
+        # wrap_at_rebuild: no wrap relief (a wrap-spilled row would sit in
+        # column 0 carrying an x ~ L coordinate, which the no-min-image
+        # kernel cannot re-image)
         target, fits, overflow = spill_assign(
-            base, cxs, valid_s, n_in, nx, k, ny * nz, wrap=True)
+            base, cxs, valid_s, n_in, nx, k, ny * nz,
+            wrap=not cfg.wrap_at_rebuild)
     else:
         # rank within cell (strict buckets)
         n_cells = nx * ny * nz
@@ -260,7 +269,8 @@ def rebuild_buckets_sort(state: State, cfg: CellConfig) -> tuple[State,
 
     if cfg.spill:
         target, fits, overflow = spill_assign(
-            base, cxs, valid_s, n_in, nx, k, ny * nz, wrap=True)
+            base, cxs, valid_s, n_in, nx, k, ny * nz,
+            wrap=not cfg.wrap_at_rebuild)
     else:
         n_cells = nx * ny * nz
         starts = jnp.searchsorted(

@@ -57,7 +57,13 @@ class CellConfig:
     # Rebuild engine: "gather" (r2 index-map + wide gather) or "sort"
     # (r3 two multi-operand sorts — payload moves at key-sort speed;
     # see bucket_layout.rebuild_buckets_sort). Identical placement.
-    rebuild: str = "gather" 
+    rebuild: str = "gather"
+    # System.wrap_mode="rebuild": positions are box-wrapped here (rebuild
+    # time) instead of every step; the v3 kernel then skips per-candidate
+    # min-image. Spill wrap-around (last cell -> cell 0) is disabled in
+    # this mode — the wrapped-spill row would need a -L coordinate shift;
+    # the lost relief costs ~1e-5 expected overflows at 1M.
+    wrap_at_rebuild: bool = False
 
     @property
     def n_cells(self) -> int:
@@ -69,7 +75,8 @@ class CellConfig:
                 rebuild_every: int = 10, capacity: int | None = None,
                 min_image_safe: bool = True,
                 spill: bool = False,
-                rebuild: str = "gather") -> "CellConfig":
+                rebuild: str = "gather",
+                wrap_at_rebuild: bool = False) -> "CellConfig":
         """Choose the grid so cell side >= rc+skin (host-side, static)."""
         import numpy as np
         l = np.asarray(box_lengths, float)
@@ -96,7 +103,7 @@ class CellConfig:
         return CellConfig(ncell=tuple(int(v) for v in ncell),
                           capacity=capacity, skin=skin,
                           rebuild_every=rebuild_every, spill=spill,
-                          rebuild=rebuild)
+                          rebuild=rebuild, wrap_at_rebuild=wrap_at_rebuild)
 
 
 @jax.tree_util.register_dataclass

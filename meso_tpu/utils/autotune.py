@@ -24,6 +24,7 @@ class TuneResult:
     pair_kernel: str = "v2"
     rebuild: str = "gather"
     capacity: int = 0
+    wrap_mode: str = ""
 
 
 def autotune_fluid(make_system, params, state0, candidates=None,
@@ -58,6 +59,8 @@ def autotune_fluid(make_system, params, state0, candidates=None,
                           dict(spill=True, pair_kernel="v3"),
                           dict(spill=True, pair_kernel="v3",
                                rebuild="sort"),
+                          dict(spill=True, pair_kernel="v3",
+                               rebuild="sort", wrap_mode="rebuild"),
                           dict(spill=True, rebuild="sort"),
                           dict(spill=True, capacity=24)):
                 extra.append({**c, **knobs})
@@ -87,7 +90,8 @@ def autotune_fluid(make_system, params, state0, candidates=None,
                        z_chunks=zc or 0,
                        pair_kernel=getattr(system, "pair_kernel", "v2"),
                        rebuild=getattr(system.cells, "rebuild", "gather"),
-                       capacity=system.cells.capacity)
+                       capacity=system.cells.capacity,
+                       wrap_mode=getattr(system, "wrap_mode", "step"))
         results.append(r)
         if verbose:
             print(f"  skin={skin} every={every} spill={r.spill} "

@@ -48,12 +48,17 @@ PARAMS = DPDParams.build(a=25.0, gamma=4.5, rc=1.0, kt=1.0, seed=77)
 
 
 def parity(l, n, skin, cap=None, spill=False, rng="fast", dyn=False,
-           zc=0, tol=5e-5, label=""):
+           zc=0, tol=5e-5, wrap_rebuild=False, label=""):
     box = Box.cubic(l)
     st = create_random(jax.random.PRNGKey(3), n, box, kt=1.0)
     cfg = CellConfig.for_box([l] * 3, rc=1.0, density=n / l ** 3, skin=skin,
-                             capacity=cap, spill=spill)
+                             capacity=cap, spill=spill,
+                             wrap_at_rebuild=wrap_rebuild)
     bst = to_bucket_state(st, cfg)
+    if wrap_rebuild:
+        # drift rows OUT of the box (<= skin/2) — the no-min-image regime
+        drift = jnp.clip(0.04 * bst.v, -skin / 2, skin / 2)
+        bst = bst.replace(x=bst.x + drift * bst.mask[:, None])
     step = jnp.int32(42)
     t0 = time.time()
     try:
@@ -81,11 +86,12 @@ def parity(l, n, skin, cap=None, spill=False, rng="fast", dyn=False,
 
 
 def timing(l, kernel, rengine="gather", skin=0.4, every=3, steps=60,
-           rng="fast"):
+           rng="fast", cap=None, wrap="step"):
     try:
         system, params, state = classic_fluid(
             l=l, rebuild_every=every, skin=skin, rng_mode=rng,
-            force_path="pallas", pair_kernel=kernel, rebuild=rengine)
+            force_path="pallas", pair_kernel=kernel, rebuild=rengine,
+            capacity=cap, wrap_mode=wrap)
         n = int(state.n_valid())
         nch = max(steps // every, 1)
         t0 = time.time()
@@ -103,9 +109,11 @@ def timing(l, kernel, rengine="gather", skin=0.4, every=3, steps=60,
     kt = float(kinetic_temperature(state.v, params.mass[state.typ],
                                    state.mask))
     of = float(np.max(np.asarray(diag.get("bucket_overflow", 0))))
+    sr = float(np.max(np.asarray(diag.get("worst_skin_ratio", 0.0))))
     print(f"TIMING l={l} n={n} kern={kernel} rb={rengine} skin={skin} "
-          f"every={every} rng={rng}: {dt * 1e3:.1f} ms/step "
-          f"({n / dt:.3e} ps/s) kT={kt:.4f} of={of:.0f} "
+          f"every={every} K={system.cells.capacity} wrap={wrap} "
+          f"ncell={system.cells.ncell[0]} rng={rng}: {dt * 1e3:.1f} ms/step "
+          f"({n / dt:.3e} ps/s) kT={kt:.4f} of={of:.0f} skin_ratio={sr:.2f} "
           f"compile+warm={tc:.0f}s", flush=True)
     return dt
 
@@ -146,6 +154,14 @@ if __name__ == "__main__":
     oks.append(parity(12.0, 5184, 0.4, spill=True, label="mid-spill"))
     oks.append(parity(9.0, 2187, 0.3, zc=3, label="zc3"))
     oks.append(parity(8.0, 1536, 0.3, cap=28, label="padK28"))
+    # wrap_mode="rebuild" (no-min-image kernel) on drifted states
+    wm_spill = parity(8.0, 1536, 0.3, spill=True, wrap_rebuild=True,
+                      label="wrapmode-spill")
+    oks.append(wm_spill)
+    oks.append(parity(8.0, 1536, 0.3, wrap_rebuild=True,
+                      label="wrapmode-strict"))
+    oks.append(parity(8.0, 1536, 0.3, spill=True, rng="tea",
+                      wrap_rebuild=True, label="wrapmode-spill-tea"))
     gate = all(oks)
     print(f"STATIC GATE: {'ALL PASS' if gate else 'FAILURES'}", flush=True)
     print("=== stage 2: timing ladder ===", flush=True)
@@ -159,8 +175,35 @@ if __name__ == "__main__":
     # (47-48^3 x 16 vs 50^3 x 16) and stretches the rebuild cadence
     timing(70.0, "v3", skin=0.47, every=5, steps=30)
     timing(70.0, "v3", skin=0.45, every=4, steps=32)
+    # NOTE on the K ladder (measured on CPU, 2026-08-17): right-spill only
+    # displaces a particle into the NEXT x-cell (l_lin < (cx+2)K), so the
+    # viable K is ~1.9-2.0x mean occupancy — K=8 small-cell and K=16
+    # supercell families (ratio ~1.5x) overflow on Poisson starts; the
+    # r2 production shape (cell 1.4-1.49, K=16) is already the
+    # K^2/occupancy optimum of this layout. Remaining levers: op trims,
+    # cadence, rebuild engine.
+    # best-guess combined config on the sort engine
+    timing(70.0, "v3", skin=0.47, every=5, steps=30, rengine="sort")
+    if wm_spill:
+        # no-min-image kernel (wrap_mode="rebuild"): 12 fewer VPU ops per
+        # candidate + no validity product
+        timing(70.0, "v3", skin=0.47, every=5, steps=30, rengine="sort",
+               wrap="rebuild")
     print("=== stage 3: rebuild engines at 1M ===", flush=True)
     rebuild_timing()
     print("=== stage 4: dyn_roll informational probe ===", flush=True)
     parity(8.0, 1536, 0.3, spill=True, dyn=True, label="dyn-info")
+    print("=== stage 5: MXU tile-shape probe (r4 layout candidate) ===",
+          flush=True)
+    # LAST on purpose: a failed Mosaic compile wedges the worker; all
+    # decision-critical results are already printed above. In-process
+    # (one device client at a time).
+    import runpy
+    try:
+        runpy.run_path(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "toy_mxu_tile.py"), run_name="__main__")
+    except Exception as e:
+        print(f"MXU_PROBE crashed: {type(e).__name__}: {str(e)[:300]}",
+              flush=True)
     print("R3_SESSION_DONE", flush=True)
