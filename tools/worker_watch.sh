@@ -8,6 +8,12 @@ LOG=/tmp/worker_watch.log
 SESSION_LOG=${1:-/tmp/r3_session3.log}
 cd "$(dirname "$0")/.."
 while true; do
+  if [ -n "$(git status --porcelain -- meso_tpu tools 2>/dev/null)" ]; then
+    # never launch the device session from a mid-edit tree
+    echo "$(date -u) tree dirty — holding launch" >> "$LOG"
+    sleep 120
+    continue
+  fi
   if timeout 110 python -c "import jax, jax.numpy as jnp; print(int(jnp.arange(8).sum()))" > /tmp/probe.out 2>&1 \
      && grep -q '^28$' /tmp/probe.out; then
     echo "$(date -u) worker UP — launching r3 session -> $SESSION_LOG" >> "$LOG"
