@@ -160,8 +160,9 @@ if __name__ == "__main__":
     oks.append(wm_spill)
     oks.append(parity(8.0, 1536, 0.3, wrap_rebuild=True,
                       label="wrapmode-strict"))
-    oks.append(parity(8.0, 1536, 0.3, spill=True, rng="tea",
-                      wrap_rebuild=True, label="wrapmode-spill-tea"))
+    wm_tea = parity(8.0, 1536, 0.3, spill=True, rng="tea",
+                    wrap_rebuild=True, label="wrapmode-spill-tea")
+    oks.append(wm_tea)
     gate = all(oks)
     print(f"STATIC GATE: {'ALL PASS' if gate else 'FAILURES'}", flush=True)
     print("=== stage 2: timing ladder ===", flush=True)
@@ -189,6 +190,11 @@ if __name__ == "__main__":
         # candidate + no validity product
         timing(70.0, "v3", skin=0.47, every=5, steps=30, rengine="sort",
                wrap="rebuild")
+        if wm_tea:
+            # reference-parity RNG on the full production-candidate config
+            # (VERDICT r2 item 2: tea at 1M)
+            timing(70.0, "v3", skin=0.47, every=5, steps=30, rengine="sort",
+                   wrap="rebuild", rng="tea")
     print("=== stage 3: rebuild engines at 1M ===", flush=True)
     rebuild_timing()
     print("=== stage 4: dyn_roll informational probe ===", flush=True)
