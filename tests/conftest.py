@@ -10,7 +10,21 @@ Set MESO_TEST_TPU=1 to run the suite on the real chip instead.
 """
 
 import os
+import resource
 import sys
+
+# XLA:CPU compiles the huge interpret-mode v3 kernel graphs ON the calling
+# thread; its recursive passes overflow the default 8 MB main-thread stack
+# nondeterministically deep into a long pytest process (observed segfaults
+# in backend_compile_and_load at test_pallas_v3 after ~100 prior compiles).
+# The Linux main stack grows up to RLIMIT_STACK — raise the soft limit.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+_want = 512 * 2 ** 20
+if _soft != resource.RLIM_INFINITY and (_hard == resource.RLIM_INFINITY
+                                        or _hard >= _want):
+    resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
+elif _soft != resource.RLIM_INFINITY and _hard > _soft:
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
 
 if not os.environ.get("MESO_TEST_TPU"):
     flags = os.environ.get("XLA_FLAGS", "")
