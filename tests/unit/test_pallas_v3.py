@@ -59,6 +59,17 @@ def _compare(box, st, cfg, params, rng_mode="fast", s_exp=1.0, z_chunks=0,
     assert np.abs(f_p[mask].sum(0)).max() / scale < 5e-5
 
 
+@pytest.fixture(autouse=True)
+def _fresh_compile_state():
+    """XLA:CPU segfaults (backend_compile_and_load) compiling this module's
+    huge interpret-mode kernel graphs once the process has accumulated a
+    long compile history (deterministic at test_v3_special_bonds in the
+    full suite; the same test passes in a fresh process). Dropping the
+    live executables before each test keeps the JIT state small."""
+    jax.clear_caches()
+    yield
+
+
 @pytest.mark.parametrize("rng_mode", ["fast", "tea"])
 @pytest.mark.parametrize("spill", [False, True])
 def test_v3_matches_dense(rng_mode, spill):

@@ -23,6 +23,14 @@ from meso_tpu.ops.dpd import DPDParams, dense_forces
 PARAMS = DPDParams.build(a=25.0, gamma=4.5, rc=1.0, kt=1.0, seed=77)
 
 
+@pytest.fixture(autouse=True)
+def _fresh_compile_state():
+    """See test_pallas_v3._fresh_compile_state: XLA:CPU segfaults compiling
+    this kernel family's big interpret graphs on a long-lived JIT state."""
+    jax.clear_caches()
+    yield
+
+
 def _drifted_bucket_state(l, n, skin, spill, cap=None, seed=3):
     """Bucket state with rows drifted OUT of the box (<= skin/2, unwrapped)."""
     box = Box.cubic(l)
