@@ -49,8 +49,9 @@ from meso_tpu.ops.dpd import DPDParams
 
 Array = jax.Array
 
-# channel indices in the stacked plane tensor
-_SX, _SY, _SZ, _VX, _VY, _VZ, _H, _VALID = range(8)
+# channel indices in the stacked plane tensor (_TAGV = tags as exact f32
+# VALUES — both RNG tiers hash them in-kernel; no bitcast channels exist)
+_SX, _SY, _SZ, _VX, _VY, _VZ, _TAGV, _VALID = range(8)
 
 # x-coordinate poison for invalid slots under wrap_at_rebuild (no
 # min-image): far outside any box, exact in f32, pairs of poisoned rows
@@ -99,9 +100,9 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
     inv_lz = scal_ref[0, 9]
     excl_w = scal_ref[0, 10]
     inv_rc = scal_ref[0, 11]
-    if rng_mode == "tea":
-        step_u = iscal_ref[0, 0].astype(jnp.uint32)
-        seed_u = iscal_ref[0, 1].astype(jnp.uint32)
+    # both tiers derive their randoms in-kernel from tag VALUES
+    step_u = iscal_ref[0, 0].astype(jnp.uint32)
+    seed_u = iscal_ref[0, 1].astype(jnp.uint32)
 
     cy = pl.program_id(0)
     cb = pl.program_id(1)
@@ -129,8 +130,30 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
     # SMEM table layout: [mid_half..., down_full...]
     mid_base, down_base = 0, len(mid_half)
 
+    # NO integer bit patterns ride the f32 channel stack: tag / exclusion
+    # channels are exact f32 VALUES (tags < 2^24), and the fast tier's
+    # per-particle hash is computed IN-KERNEL from those values. Bitcast
+    # integer channels are corrupted on device — value-dependently and
+    # SHAPE-dependently — somewhere in the XLA prep + DMA + roll pipeline
+    # (r3 root cause: v2 and v3 failed identically at the same shapes,
+    # interpret always exact; tools/v3_lane_scan2.py: the value-carried
+    # tea tier passes at the exact shapes the bitcast-hash fast tier
+    # fails). Hash blocks computed here are int32 and only ever rolled as
+    # int32 (the proven-safe order, tools/toy_tea_roll.py pre_bc).
+
+    def hash_of(tag_f):
+        """Per-particle TEA hash from a tag-value block — bit-identical to
+        rng.particle_hash (the oracle's counter)."""
+        t = tag_f.astype(jnp.int32).astype(jnp.uint32)
+        v0, _ = rngmod.tea(t, t ^ jnp.uint32(0xDEADBEEF), step_u, seed_u,
+                           rounds=rng_rounds)
+        return v0.astype(jnp.int32)
+
     def selfc(c):  # (k, L)
         return b_mid[c, 0, 0]
+
+    self_h = (hash_of(selfc(tag_chan))
+              if rng_mode == "fast" or debug_pairs else None)
 
     def roll_fwd(blocks, off):
         """Roll each (8, L) block so lane t reads source lane t+off."""
@@ -211,16 +234,17 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
         dvz = selfc(_VZ) - row[_VZ]
         ev = (drx * dvx + dry * dvy + drz * dvz) * rinv
         if rng_mode == "tea":
-            tgs = pltpu.bitcast(selfc(tag_chan), jnp.int32)
-            tgj = pltpu.bitcast(row[tag_chan], jnp.int32)
-            lo = jnp.minimum(tgs, tgj).astype(jnp.uint32)
-            hi = jnp.maximum(tgs, tgj).astype(jnp.uint32)
+            # tag channels are exact f32 values; min/max in f32, ONE
+            # f32->int32 convert each at the TEA input
+            tgs, tgj = selfc(tag_chan), row[tag_chan]
+            lo = jnp.minimum(tgs, tgj).astype(jnp.int32).astype(jnp.uint32)
+            hi = jnp.maximum(tgs, tgj).astype(jnp.int32).astype(jnp.uint32)
             v0, _ = rngmod.tea(lo, hi, step_u, seed_u, rounds=rng_rounds)
             theta = rngmod._u32_to_symmetric_uniform(v0)
         else:
-            hs = pltpu.bitcast(selfc(_H), jnp.uint32)
-            hj = pltpu.bitcast(row[_H], jnp.uint32)
-            theta = rngmod.pair_uniform_fast(hs, hj)
+            # row[-1] = the group's in-kernel hash block (int32, rolled
+            # as int32 — the proven-safe order)
+            theta = rngmod.pair_uniform_fast(self_h, row[-1])
         if s_exp == 1.0:
             # factored form (wr == w): one fewer multiply chain
             fmag = w * (a_ij - (g_ij * w) * ev + s_ij * theta)
@@ -228,11 +252,12 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
             fmag = a_ij * w - g_ij * (wr * wr) * ev + s_ij * wr * theta
         fmag = jnp.where(ok, fmag, 0.0)
         if n_excl:
-            tgj_x = pltpu.bitcast(row[tag_chan], jnp.int32)
-            hit = pltpu.bitcast(selfc(ex_chan), jnp.int32) == tgj_x
+            # exclusion tags and the tag channel are exact f32 values:
+            # integer equality == f32 equality, no casts needed
+            tgj_x = row[tag_chan]
+            hit = selfc(ex_chan) == tgj_x
             for e in range(1, n_excl):
-                hit = hit | (pltpu.bitcast(selfc(ex_chan + e),
-                                           jnp.int32) == tgj_x)
+                hit = hit | (selfc(ex_chan + e) == tgj_x)
             fmag = fmag * jnp.where(hit, excl_w, 1.0)
         if debug_pairs:
             # pair-accounting mode: fx = pair count, fy = sum of partner
@@ -242,9 +267,9 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
             okf = ok.astype(jnp.float32)
             # 14-bit keys: row sums of ~30 keys stay exact in f32
             key_j = jax.lax.shift_right_logical(
-                pltpu.bitcast(row[_H], jnp.int32), 18).astype(jnp.float32)
+                row[-1], 18).astype(jnp.float32)
             key_i = jax.lax.shift_right_logical(
-                pltpu.bitcast(selfc(_H), jnp.int32), 18).astype(jnp.float32)
+                self_h, 18).astype(jnp.float32)
             dfx = okf
             dfy = okf * key_j
             dfz = jnp.zeros_like(okf)
@@ -268,7 +293,13 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
     groups = _groups(k)
 
     def read_group(band_ref, g0):
-        return tuple(band_ref[c, 0, 0, g0:g0 + 8, :] for c in range(n_chan))
+        blocks = tuple(band_ref[c, 0, 0, g0:g0 + 8, :]
+                       for c in range(n_chan))
+        if rng_mode == "fast" or debug_pairs:
+            # hash the group's tag values ONCE (48 uint ops / element,
+            # amortized over every offset pass); rolls see it as int32
+            blocks = blocks + (hash_of(blocks[tag_chan]),)
+        return blocks
 
     r_iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, l_lane), 0)
 
@@ -366,6 +397,41 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
     out_ref[3, 0, 0, 0] = vir
 
 
+# Static-path lane-length rule (device toolchain bug, PERF_NOTES r3):
+# every device-passing static shape has l_lane % 16 == 12 and every
+# failing one % 16 == 0 (characterized by tools/v3_lane_disc.py). None =
+# no padding (rule not yet confirmed); an int = pad l_lane up to this
+# residue mod 16. Padding pad lanes are inert (VALID=0 / x-poisoned) and
+# z periodicity moves to explicit halo rows (circular roll wrap cannot
+# cross pads).
+_LANE_RESIDUE: int | None = None
+
+
+def _lane_rule(l: int) -> int:
+    if _LANE_RESIDUE is None:
+        return l
+    return l + (_LANE_RESIDUE - l) % 16
+
+
+# Row-width rule (the ACTUAL static-path miscompile axis per
+# tools/v3_lane_scan.py: failures are determined by w_lane, not by the
+# total lane length — w in {10, 11} pass while {8, 12, 13, 14, 18, 28,
+# 29} fail, same L). When set, each z-row is padded with dead lanes
+# (VALID=0 / x-poisoned) from its natural width nx+2*xr up to the next
+# width whose residue mod 16 is in this set. Dead lanes are never targets
+# (outside [xr, xr+nx)) and never valid sources; rolls keep the padded
+# stride, so pair enumeration is unchanged.
+_W_RESIDUES: frozenset[int] | None = None
+
+
+def _w_rule(w: int) -> int:
+    if _W_RESIDUES is None or (w % 16) in _W_RESIDUES:
+        return w
+    while (w % 16) not in _W_RESIDUES:
+        w += 1
+    return w
+
+
 def _auto_z_chunks(n_chan: int, k: int, nz: int, w_lane: int,
                    budget_bytes: int = 9 * 2 ** 20,
                    z_halo_always: bool = False) -> int:
@@ -387,7 +453,8 @@ def _auto_z_chunks(n_chan: int, k: int, nz: int, w_lane: int,
 
 @partial(jax.jit, static_argnames=("dt", "cfg", "rng_mode", "rng_rounds",
                                    "interpret", "s_exp", "z_chunks",
-                                   "dyn_roll", "debug_pairs"))
+                                   "dyn_roll", "debug_pairs", "lane_pad",
+                                   "w_pad"))
 def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
                             mask: Array, box: Box, step: Array,
                             params: DPDParams, dt: float, cfg: CellConfig,
@@ -395,7 +462,8 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
                             interpret: bool | None = None,
                             s_exp: float = 1.0, z_chunks: int = 0,
                             dyn_roll: bool = False,
-                            debug_pairs: bool = False):
+                            debug_pairs: bool = False, lane_pad: int = 0,
+                            w_pad: int = 0):
     """Forces for bucket-resident rows via the Newton fused-lane kernel.
 
     Interface matches ``bucket_forces_pallas_fused`` (its bit-reference up
@@ -417,41 +485,45 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
                          "x-window (needs ncx >= 2*xr+1)")
     if ny < 2:
         raise ValueError("v3 kernel needs ncy >= 2 (row-pair Newton grid)")
-    w_lane = nx + 2 * xr
+    w_log = nx + 2 * xr                  # natural row width (wrap pads)
+    w_lane = w_pad if w_pad else _w_rule(w_log)
+    if w_lane < w_log:
+        raise ValueError(f"w_pad={w_pad} below natural width {w_log}")
 
-    h = rngmod.particle_hash(tag, step, params.seed, rounds=rng_rounds)
     shape = (ny, nz, k, nx)
-    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
     vmask = mask.astype(jnp.float32).reshape(shape)
     x0 = x[:, 0]
     if not min_image:
         # poison invalid slots: the cutoff compare masks them for free
         x0 = jnp.where(mask, x0, _POISON)
+    # channel 6 (_TAGV): tags as exact f32 VALUES. NO integer bit pattern
+    # ever rides the f32 stack as a bitcast — the device toolchain
+    # corrupts bitcast channels value- and shape-dependently (r3 root
+    # cause, PERF_NOTES); both RNG tiers hash tag values in-kernel.
+    if nr >= (1 << 24):
+        raise ValueError("v3 kernel carries tags as exact f32 values; "
+                         "tag ids must stay below 2^24")
+    tag_f = tag.astype(jnp.float32)
     chans = [
         x0.reshape(shape), x[:, 1].reshape(shape), x[:, 2].reshape(shape),
         v[:, 0].reshape(shape), v[:, 1].reshape(shape), v[:, 2].reshape(shape),
-        bc(h).reshape(shape), vmask,
+        tag_f.reshape(shape), vmask,
     ]
     n_types = params.a.shape[0]
-    typ_chan = tag_chan = ex_chan = -1
+    typ_chan = ex_chan = -1
+    tag_chan = _TAGV
     n_excl = 0
-    if rng_mode == "tea":
-        tag_chan = len(chans)
-        chans.append(bc(tag).reshape(shape))
-    elif rng_mode != "fast":
+    if rng_mode not in ("tea", "fast"):
         raise ValueError(f"unknown rng_mode {rng_mode!r}")
     if n_types > 1:
         typ_chan = len(chans)
         chans.append(typ.astype(jnp.float32).reshape(shape))
     if params.excl is not None:
         n_excl = params.excl.shape[1]
-        if tag_chan < 0:
-            tag_chan = len(chans)
-            chans.append(bc(tag).reshape(shape))
         ex_chan = len(chans)
         ex = params.excl[tag]                        # (nr, E) gather
         for e in range(n_excl):
-            chans.append(bc(ex[:, e]).reshape(shape))
+            chans.append(ex[:, e].astype(jnp.float32).reshape(shape))
     n_chan = len(chans)
 
     zc = z_chunks
@@ -469,7 +541,19 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
     z_halo = (zc > 1) or dyn_roll or not min_image
     body_z = (nzc + 2) if z_halo else nz
     l_log = body_z * w_lane
-    l_lane = (-(-l_log // 128) * 128) if dyn_roll else l_log
+    if dyn_roll:
+        l_lane = -(-l_log // 128) * 128
+    else:
+        want = lane_pad if lane_pad else _lane_rule(l_log)
+        if want != l_log and not z_halo:
+            # pad lanes break circular-roll z periodicity: switch to
+            # explicit z halo rows (source-only copies), then re-derive
+            # the pad target for the halo'd length
+            z_halo = True
+            body_z = nzc + 2
+            l_log = body_z * w_lane
+            want = lane_pad if lane_pad else _lane_rule(l_log)
+        l_lane = max(want, l_log)
 
     # pad capacity to a multiple of 8: every kernel source group is then
     # sublane-aligned (see _groups); pad slots carry VALID=0 zeros
@@ -512,6 +596,13 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
         chunks = jnp.concatenate(
             [shifted(chunks[..., -xr:], _SX, -lens[0]), chunks,
              shifted(chunks[..., :xr], _SX, lens[0])], axis=-1)
+        if w_lane > w_log:
+            # dead per-row pad lanes (_W_RESIDUES / w_pad): inert sources
+            # (VALID=0 zeros / poisoned x), never targets
+            chunks = jnp.pad(
+                chunks, [(0, 0)] * (chunks.ndim - 1) + [(0, w_lane - w_log)])
+            if not min_image:
+                chunks = chunks.at[_SX, ..., w_log:].set(_POISON)
         vw = chunks.reshape(c_dim, ny, zc, kp, l_log)
         if l_lane > l_log:
             vw = jnp.pad(vw, [(0, 0)] * 4 + [(0, l_lane - l_log)])
@@ -607,9 +698,9 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
     arr = combined[..., :l_log].reshape(4, ny, zc, kp, body_z, w_lane)
     core = arr[..., xr:xr + nx]
     # x wrap pads: left pads are twins of the LAST xr columns, right pads
-    # of the first xr
+    # of the first xr (any dead w_pad lanes beyond nx+2*xr carry zeros)
     core = core.at[..., nx - xr:].add(arr[..., :xr])
-    core = core.at[..., :xr].add(arr[..., nx + xr:])
+    core = core.at[..., :xr].add(arr[..., nx + xr:nx + 2 * xr])
     if z_halo:
         zcore = core[..., 1:-1, :]
         # left z pad of chunk cb = last real z of chunk cb-1 (wraps)

@@ -22,7 +22,7 @@ def classic_fluid(l: float = 32.0, density: float = 3.0, kt: float = 1.0,
                   rng_mode: str = "tea", force_path: str = "nlist",
                   spill: bool | None = None, pair_kernel: str = "v2",
                   rebuild: str = "gather", capacity: int | None = None,
-                  wrap_mode: str = "step",
+                  wrap_mode: str = "step", z_chunks: int = 0,
                   ) -> tuple[System, SystemParams, State]:
     """Build (system, params, state) for the classic fluid, forces initialized.
 
@@ -44,7 +44,7 @@ def classic_fluid(l: float = 32.0, density: float = 3.0, kt: float = 1.0,
                               skin=skin, rebuild_every=rebuild_every,
                               rng_mode=rng_mode, spill=spill,
                               rebuild=rebuild, capacity=capacity,
-                              wrap_mode=wrap_mode)
+                              wrap_mode=wrap_mode, z_chunks=z_chunks)
     if force_path != "nlist":
         system = system.replace(force_path=force_path)
     if pair_kernel != "v2":

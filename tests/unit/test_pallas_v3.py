@@ -140,6 +140,21 @@ def test_v3_odd_capacity():
     _compare(box, st, cfg, params)
 
 
+def test_v3_wide_box_nx8():
+    """nx >= 8 regression (r3): every pre-r3 test shape had nx <= 7, which
+    hid a device corruption class AND left the wide-box enumeration
+    untested in interpret. Non-cubic box -> ncx=8 at skin 0.3."""
+    lens = [10.7, 8.0, 8.0]
+    box = Box.orthorhombic(*lens)
+    n = int(round(3.0 * lens[0] * lens[1] * lens[2]))
+    st = create_random(jax.random.PRNGKey(3), n, box, kt=1.0)
+    cfg = CellConfig.for_box(lens, rc=1.0, density=3.0, skin=0.3,
+                             spill=True)
+    assert cfg.ncell[0] >= 8
+    params = DPDParams.build(a=25.0, gamma=4.5, rc=1.0, kt=1.0, seed=77)
+    _compare(box, st, cfg, params)
+
+
 def test_v3_matches_v2_bitpath():
     """v2 and v3 agree to fp-reorder tolerance on the same bucket state."""
     from meso_tpu.kernels.pair_dpd_fused import bucket_forces_pallas_fused

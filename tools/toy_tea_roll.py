@@ -17,6 +17,18 @@ symmetric uniform -> masked accumulate) and differs in ONE element:
   rounds2   TEA with 2 rounds instead of 8
   scratch   rolled row staged through a VMEM scratch ref before TEA
 
+Device results 2026-08-18: only pre_bc PASSED (bitcast-then-roll is the
+safe order) — but porting that order into the full v3 kernel did NOT fix
+it (tea still rel 0.9, tools/v3_lane_disc.py), so the production kernel
+has a second trigger the toy lacks. Added variants to find it:
+
+  grp8      pre_bc order but read as an aligned (8, L) slice bitcast to
+            int, roll, then per-row [r:r+1] slices (v3's group read)
+  cond      pre_bc wrapped in lax.cond on an SMEM-read bound (v3's
+            group gating)
+  vals      tags as exact f32 VALUES, min/max in f32, one f32->int32
+            convert at the TEA input (the v3 value-tags design)
+
 Each variant compares the compiled kernel against interpret mode on
 identical inputs (interpret is the semantic reference; all variants are
 exact there by construction). Run ON DEVICE (one client at a time):
@@ -60,33 +72,86 @@ def _kernel(iscal_ref, stack_ref, out_ref, *, variant: str):
     self_tag = pltpu.bitcast(self_tag_f, jnp.int32)
     acc = jnp.zeros((K, L), jnp.float32)
 
-    if variant == "pre_bc":
+    if variant in ("pre_bc", "cond"):
         tag_block_i = pltpu.bitcast(stack_ref[1, 0], jnp.int32)
+
+    if variant == "vals":
+        # stack plane 2 carries tags as exact f32 VALUES
+        self_val = stack_ref[2, 0]
+
+        def theta_one(off):
+            sh = (-off) % L
+            row_val = pltpu.roll(stack_ref[2, 0], sh, 1)[0:1, :]
+            lo = jnp.minimum(self_val, row_val).astype(jnp.int32)
+            hi = jnp.maximum(self_val, row_val).astype(jnp.int32)
+            v0, _ = rngmod.tea(lo.astype(jnp.uint32), hi.astype(jnp.uint32),
+                               step_u, seed_u, rounds=8)
+            return rngmod._u32_to_symmetric_uniform(v0)
+
+        for off in OFFS:
+            sh = (-off) % L
+            vmask = pltpu.roll(stack_ref[0, 0], sh, 1)[0:1, :]
+            acc = acc + jnp.where(stack_ref[0, 0] * vmask > 0.5,
+                                  theta_one(off), 0.0)
+        out_ref[0, 0] = acc
+        return
+
+    if variant == "grp8":
+        for g0 in range(0, K, 8):
+            blk = pltpu.bitcast(stack_ref[1, 0, g0:g0 + 8, :], jnp.int32)
+            mblk = stack_ref[0, 0, g0:g0 + 8, :]
+            for off in OFFS:
+                sh = (-off) % L
+                rolled = pltpu.roll(blk, sh, 1)
+                mrolled = pltpu.roll(mblk, sh, 1)
+                for r in range(8):
+                    row_tag = rolled[r:r + 1, :]
+                    lo = jnp.minimum(self_tag, row_tag).astype(jnp.uint32)
+                    hi = jnp.maximum(self_tag, row_tag).astype(jnp.uint32)
+                    v0, _ = rngmod.tea(lo, hi, step_u, seed_u, rounds=8)
+                    theta = rngmod._u32_to_symmetric_uniform(v0)
+                    vmask = mrolled[r:r + 1, :]
+                    acc = acc + jnp.where(
+                        stack_ref[0, 0] * vmask > 0.5, theta, 0.0)
+        out_ref[0, 0] = acc
+        return
 
     for off in OFFS:
         sh = (-off) % L
-        if variant == "pre_bc":
-            rolled_i = pltpu.roll(tag_block_i, sh, 1)
-            row_tag = rolled_i[0:1, :]
+
+        def contrib_of(off=off, sh=sh):
+            if variant in ("pre_bc", "cond"):
+                rolled_i = pltpu.roll(tag_block_i, sh, 1)
+                row_tag = rolled_i[0:1, :]
+            else:
+                rolled = pltpu.roll(stack_ref[1, 0], sh, 1)
+                row_f = rolled[0:1, :]
+                row_tag = pltpu.bitcast(row_f, jnp.int32)
+            if variant == "no_minmax":
+                lo = self_tag.astype(jnp.uint32)
+                hi = row_tag.astype(jnp.uint32)
+            else:
+                lo = jnp.minimum(self_tag, row_tag).astype(jnp.uint32)
+                hi = jnp.maximum(self_tag, row_tag).astype(jnp.uint32)
+            if variant == "fast":
+                theta = rngmod.pair_uniform_fast(lo, hi)
+            else:
+                rounds = 2 if variant == "rounds2" else 8
+                v0, _ = rngmod.tea(lo, hi, step_u, seed_u, rounds=rounds)
+                theta = rngmod._u32_to_symmetric_uniform(v0)
+            # mask rides a float compare like the production cutoff test
+            vmask = pltpu.roll(stack_ref[0, 0], sh, 1)[0:1, :]
+            return jnp.where(stack_ref[0, 0] * vmask > 0.5, theta, 0.0)
+
+        if variant == "cond":
+            # production group gating: the whole offset pass COMPUTES
+            # under a lax.cond on an SMEM-read bound (always true here)
+            contrib = jax.lax.cond(
+                iscal_ref[0, 0] > 0, contrib_of,
+                lambda: jnp.zeros((K, L), jnp.float32))
         else:
-            rolled = pltpu.roll(stack_ref[1, 0], sh, 1)
-            row_f = rolled[0:1, :]
-            row_tag = pltpu.bitcast(row_f, jnp.int32)
-        if variant == "no_minmax":
-            lo = self_tag.astype(jnp.uint32)
-            hi = row_tag.astype(jnp.uint32)
-        else:
-            lo = jnp.minimum(self_tag, row_tag).astype(jnp.uint32)
-            hi = jnp.maximum(self_tag, row_tag).astype(jnp.uint32)
-        if variant == "fast":
-            theta = rngmod.pair_uniform_fast(lo, hi)
-        else:
-            rounds = 2 if variant == "rounds2" else 8
-            v0, _ = rngmod.tea(lo, hi, step_u, seed_u, rounds=rounds)
-            theta = rngmod._u32_to_symmetric_uniform(v0)
-        # mask rides a float compare like the production cutoff test
-        vmask = pltpu.roll(stack_ref[0, 0], sh, 1)[0:1, :]
-        acc = acc + jnp.where(stack_ref[0, 0] * vmask > 0.5, theta, 0.0)
+            contrib = contrib_of()
+        acc = acc + contrib
     out_ref[0, 0] = acc
 
 
@@ -115,7 +180,8 @@ def run(variant: str, interpret: bool):
     tags = rs.permutation(2 * K * L)[:K * L].astype(np.int32).reshape(K, L)
     mask = (rs.rand(K, L) < 0.7).astype(np.float32)
     tag_f = jax.lax.bitcast_convert_type(jnp.asarray(tags), jnp.float32)
-    stack = jnp.stack([jnp.asarray(mask), tag_f])[:, None]   # (2, 1, K, L)
+    tag_v = jnp.asarray(tags, jnp.float32)       # tags as exact f32 VALUES
+    stack = jnp.stack([jnp.asarray(mask), tag_f, tag_v])[:, None]
     iscal = jnp.asarray([[42, 977]], jnp.int32)
 
     if variant == "scratch":
@@ -141,7 +207,7 @@ def run(variant: str, interpret: bool):
 
 
 VARIANTS = ["base", "fast", "pre_bc", "no_minmax", "const_key", "rounds2",
-            "scratch"]
+            "scratch", "grp8", "cond", "vals"]
 
 if __name__ == "__main__":
     print("dev:", jax.devices(), flush=True)

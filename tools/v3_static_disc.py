@@ -45,10 +45,14 @@ def probe(l, n, skin, cap=None, spill=False, rng="fast", zc=0,
           wrap_rebuild=False, label="", localize=False):
     box = Box.cubic(l)
     st = create_random(jax.random.PRNGKey(3), n, box, kt=1.0)
-    cfg = CellConfig.for_box([l] * 3, rc=1.0, density=n / l ** 3, skin=skin,
-                             capacity=cap, spill=spill,
-                             wrap_at_rebuild=wrap_rebuild)
-    bst = to_bucket_state(st, cfg)
+    try:
+        cfg = CellConfig.for_box([l] * 3, rc=1.0, density=n / l ** 3,
+                                 skin=skin, capacity=cap, spill=spill,
+                                 wrap_at_rebuild=wrap_rebuild)
+        bst = to_bucket_state(st, cfg)
+    except ValueError as e:
+        print(f"SKIP {label}: {e}", flush=True)
+        return False
     if wrap_rebuild:
         drift = jnp.clip(0.04 * bst.v, -skin / 2, skin / 2)
         bst = bst.replace(x=bst.x + drift * bst.mask[:, None])
