@@ -100,23 +100,38 @@ def timing(l, zc, w_pad=0, skin=0.4, every=3, steps=30, rng="fast",
 
 
 if __name__ == "__main__":
-    # engage the validated width rule for the production-loop timings
-    # (subset_gate passes w_pad explicitly; the loop path reads the rule)
-    import meso_tpu.kernels.pair_dpd_v3 as v3mod
-    v3mod._W_RESIDUES = frozenset({10, 11})
-    # 0. settle the v2@1M correctness question (w=54, never force-gated)
-    subset_gate(L_BOX, "v2")
-    # 1. v3 at the production shape: padded width, explicit z-chunks
-    if subset_gate(L_BOX, "v3", zc=5, w_pad=58):
-        timing(L_BOX, 5, w_pad=58)
-        timing(L_BOX, 5, w_pad=58, rengine="sort")
+    # Post-root-cause ordering (PERF_NOTES r3): the width rule was an
+    # artifact of the bitcast-channel corruption, now fixed by the
+    # value-carried design — gate the NATURAL width first and engage the
+    # w_pad fallback only if it fails. Production-candidate timings run
+    # FIRST (compile time is the scarce resource on this worker).
+    # 1. v3 at the production shape: natural width, explicit z-chunks
+    #    (auto-zc picks zc=2 -> l_lane 1458 which fails to COMPILE)
+    ok = subset_gate(L_BOX, "v3", zc=5)
+    wp = 0
+    if not ok:
+        import meso_tpu.kernels.pair_dpd_v3 as v3mod
+        v3mod._W_RESIDUES = frozenset({10, 11})
+        ok = subset_gate(L_BOX, "v3", zc=5, w_pad=58)
+        wp = 58
+    if ok:
+        # production candidate: sort rebuild + deferred wrap (both gated
+        # on-device by tools/v3_gate3.py / r2 suite at small shapes)
+        timing(L_BOX, 5, w_pad=wp, rengine="sort", wrap="rebuild")
         # reference-parity RNG at 1M (VERDICT r2 item 2)
-        if subset_gate(L_BOX, "v3", zc=5, w_pad=58, rng="tea", m=256):
-            timing(L_BOX, 5, w_pad=58, rng="tea", rengine="sort")
+        if subset_gate(L_BOX, "v3", zc=5, w_pad=wp, rng="tea", m=256):
+            timing(L_BOX, 5, w_pad=wp, rng="tea", rengine="sort",
+                   wrap="rebuild")
+        # ablations (cheapest last): wrap=step, gather rebuild
+        timing(L_BOX, 5, w_pad=wp, rengine="sort")
+        timing(L_BOX, 5, w_pad=wp)
     else:
         # fall back: probe other chunkings before giving up
         for zc in (10, 25):
-            if subset_gate(L_BOX, "v3", zc=zc, w_pad=58):
-                timing(L_BOX, zc, w_pad=58)
+            if subset_gate(L_BOX, "v3", zc=zc):
+                timing(L_BOX, zc, rengine="sort", wrap="rebuild")
                 break
+    # settle the v2@1M correctness question (w=54, never force-gated;
+    # the r2 bench number's kT ran on this path)
+    subset_gate(L_BOX, "v2")
     print("V3_1M_PROBE_DONE", flush=True)
