@@ -37,10 +37,11 @@ def run_config(l, path, skin, every, nsteps, equil=399):
     kernel = os.environ.get("MESO_BENCH_KERNEL", "v2")
     rengine = os.environ.get("MESO_BENCH_REBUILD_ENGINE", "gather")
     wrap_mode = os.environ.get("MESO_BENCH_WRAP", "step")
+    zc = int(os.environ.get("MESO_BENCH_ZCHUNKS", "0"))
     system, params, state = classic_fluid(
         l=l, rebuild_every=every, skin=skin, rng_mode=rng_mode,
         force_path=path, pair_kernel=kernel, rebuild=rengine,
-        wrap_mode=wrap_mode)
+        wrap_mode=wrap_mode, z_chunks=zc)
     n = int(state.n_valid())
     fused = path in ("pallas", "bucket")
 
@@ -77,6 +78,7 @@ def run_config(l, path, skin, every, nsteps, equil=399):
         "pair_kernel": kernel,
         "rebuild_engine": rengine,
         "wrap_mode": wrap_mode,
+        "z_chunks": zc,
         "rng_mode": rng_mode,
         "device": str(jax.devices()[0]),
         # launch-shape knobs in effect (SURVEY 2b row 29)
@@ -146,7 +148,17 @@ def main():
         return
     l = os.environ.get("MESO_BENCH_L", "70")
     if _probe_device():
+        # rung 1: the v3 Newton kernel production config (device-gated by
+        # tools/v3_gate3.py + tools/v3_1m_probe.py); explicit z-chunks —
+        # auto-zc picks a lane vector the toolchain fails to compile at
+        # L=70. rung 2: the r2-proven v2 config as the device fallback.
+        # wrap=step: the deferred-wrap mode needs spill wrap-relief off,
+        # which overflows K=16 at 1M (v3_1m probe: of=42)
+        v3_cfg = {"MESO_BENCH_L": l, "MESO_BENCH_KERNEL": "v3",
+                  "MESO_BENCH_ZCHUNKS": 5,
+                  "MESO_BENCH_REBUILD_ENGINE": "sort"}
         ladder = [
+            (v3_cfg, 3000),
             ({"MESO_BENCH_L": l}, 2400),
             ({"MESO_BENCH_L": 32}, 1200),
         ]

@@ -46,8 +46,11 @@ from meso_tpu.ops.dpd import DPDParams
 
 Array = jax.Array
 
-# channel indices in the stacked plane tensor
-_SX, _SY, _SZ, _VX, _VY, _VZ, _H, _VALID = range(8)
+# channel indices in the stacked plane tensor (_TAGV = tags as exact f32
+# VALUES — both RNG tiers hash them in-kernel; no bitcast integer channel
+# ever rides the f32 stack: the device toolchain corrupts bitcast
+# channels value- and shape-dependently, r3 root cause in PERF_NOTES.md)
+_SX, _SY, _SZ, _VX, _VY, _VZ, _TAGV, _VALID = range(8)
 
 
 def _roll_lane(p: Array, off: int) -> Array:
@@ -59,7 +62,7 @@ def _roll_lane(p: Array, off: int) -> Array:
 
 def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
                   rng_rounds: int, n_chan: int, n_types: int, typ_chan: int,
-                  tag_chan: int, n_excl: int, ex_chan: int, s_exp: float,
+                  n_excl: int, ex_chan: int, s_exp: float,
                   xr: int = 1, bf16_v: bool = False, model: str = "dpd",
                   ns: int = 0, mc_chan: int = -1, n_out: int = 4):
     """One grid step = one (cy row, z-chunk): out (C, 1, 1, K, L).
@@ -93,9 +96,9 @@ def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
     elif model == "tdpd":
         rcc = scal_ref[0, 12]
         s1 = scal_ref[0, 13]
-    if rng_mode == "tea":
-        step_u = iscal_ref[0, 0].astype(jnp.uint32)
-        seed_u = iscal_ref[0, 1].astype(jnp.uint32)
+    # both tiers derive their randoms in-kernel from tag VALUES
+    step_u = iscal_ref[0, 0].astype(jnp.uint32)
+    seed_u = iscal_ref[0, 1].astype(jnp.uint32)
 
     # stage the three cy bands into one scratch indexable by a traced dy
     bands_s[0] = b0[:, 0, 0]
@@ -107,8 +110,16 @@ def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
         # VMEM band traffic stays bf16, the scratch is f32
         for i in range(3):
             bands_sv[i] = bv[i][:, 0, 0].astype(jnp.float32)
-    h_idx = 3 if bf16_v else _H
+    tagv_idx = 3 if bf16_v else _TAGV
     val_idx = 4 if bf16_v else _VALID
+
+    def hash_of(tag_f):
+        """Per-particle TEA hash from a tag-value block — bit-identical to
+        rng.particle_hash (the oracle/sweep counter)."""
+        t = tag_f.astype(jnp.int32).astype(jnp.uint32)
+        v0, _ = rngmod.tea(t, t ^ jnp.uint32(0xDEADBEEF), step_u, seed_u,
+                           rounds=rng_rounds)
+        return v0
 
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (k, l_lane), 0)
     # x-window +-xr: 1 for strict buckets, 2 for right-spill packing
@@ -128,6 +139,11 @@ def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
         if bf16_v:
             return bands_sv[1, i]
         return bands_s[1, _VX + i]
+
+    # fast-tier per-particle hash of the self tile, hoisted out of the
+    # pair loop (one (K, L) TEA per grid step; the (1, L) source rows
+    # hash per iteration, ~1 TEA per 3*K pair-math lanes)
+    self_h = hash_of(selfc(tagv_idx)) if rng_mode == "fast" else None
 
     def body(it, acc):
         fx, fy, fz, vir = acc[:4]
@@ -191,25 +207,25 @@ def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
         ev = (drx * dvx + dry * dvy + drz * dvz) * rinv
         if model == "dpd":
             if rng_mode == "tea":
-                tgs = pltpu.bitcast(selfc(tag_chan), jnp.int32)
-                tgj = pltpu.bitcast(rows[tag_chan], jnp.int32)
+                tgs = selfc(tagv_idx).astype(jnp.int32)
+                tgj = rows[tagv_idx].astype(jnp.int32)
                 lo = jnp.minimum(tgs, tgj).astype(jnp.uint32)
                 hi = jnp.maximum(tgs, tgj).astype(jnp.uint32)
                 v0, _ = rngmod.tea(lo, hi, step_u, seed_u,
                                    rounds=rng_rounds)
                 theta = rngmod._u32_to_symmetric_uniform(v0)
             else:
-                hs = pltpu.bitcast(selfc(h_idx), jnp.uint32)
-                hj = pltpu.bitcast(rows[h_idx], jnp.uint32)
-                theta = rngmod.pair_uniform_fast(hs, hj)
+                hj = hash_of(rows[tagv_idx])
+                theta = rngmod.pair_uniform_fast(self_h, hj)
             fmag = a_ij * w - g_ij * (wr * wr) * ev + s_ij * wr * theta
             fmag = jnp.where(ok, fmag, 0.0)
             if n_excl:
-                tgj_x = pltpu.bitcast(rows[tag_chan], jnp.int32)
-                hit = pltpu.bitcast(selfc(ex_chan), jnp.int32) == tgj_x
+                # exclusion tags are exact f32 VALUES (< 2^24): compare
+                # directly on the value channels
+                tgj_x = rows[tagv_idx]
+                hit = selfc(ex_chan) == tgj_x
                 for e in range(1, n_excl):
-                    hit = hit | (pltpu.bitcast(selfc(ex_chan + e),
-                                               jnp.int32) == tgj_x)
+                    hit = hit | (selfc(ex_chan + e) == tgj_x)
                 fmag = fmag * jnp.where(hit, excl_w, 1.0)
             fr = fmag * rinv
             return (fx + fr * drx, fy + fr * dry, fz + fr * drz,
@@ -218,18 +234,18 @@ def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
         # eDPD/tDPD (SURVEY A.2/A.3): symmetric pair hash -> independent
         # noise streams; antisymmetric streams use the tag-order sign —
         # the exact math of the sweep/banded paths (parity-tested)
-        tgs = pltpu.bitcast(selfc(tag_chan), jnp.int32)
-        tgj = pltpu.bitcast(rows[tag_chan], jnp.int32)
         if rng_mode == "tea":
+            tgs = selfc(tagv_idx).astype(jnp.int32)
+            tgj = rows[tagv_idx].astype(jnp.int32)
             lo = jnp.minimum(tgs, tgj).astype(jnp.uint32)
             hi = jnp.maximum(tgs, tgj).astype(jnp.uint32)
             hp, _ = rngmod.tea(lo, hi, step_u, seed_u, rounds=rng_rounds)
         else:
-            hs = pltpu.bitcast(selfc(h_idx), jnp.uint32)
-            hj = pltpu.bitcast(rows[h_idx], jnp.uint32)
-            hp = rngmod.combine_symmetric(hs, hj)
+            hj = hash_of(rows[tagv_idx])
+            hp = rngmod.combine_symmetric(self_h, hj)
         theta = rngmod.uniform_stream(hp, 0)
-        sign = jnp.where(tgs < tgj, 1.0, -1.0)
+        # tag-order sign as an exact f32 value compare
+        sign = jnp.where(selfc(tagv_idx) < rows[tagv_idx], 1.0, -1.0)
         w2 = w * w
         extras = acc[4:]
         if model == "edpd":
@@ -328,9 +344,15 @@ def bucket_forces_pallas_fused(x: Array, v: Array, typ: Array, tag: Array,
                          "x-window (needs ncx >= 2*xr+1)")
     w_lane = nx + 2 * xr
 
-    h = rngmod.particle_hash(tag, step, params.seed, rounds=rng_rounds)
+    if rng_mode not in ("fast", "tea"):
+        raise ValueError(f"unknown rng_mode {rng_mode!r}")
+    if nr >= (1 << 24):
+        raise ValueError("fused kernel carries tags as exact f32 values; "
+                         "tag ids must stay below 2^24")
     shape = (ny, nz, k, nx)
-    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    # tags ride as exact f32 VALUES; both RNG tiers hash them in-kernel
+    # (no bitcast integer channel — r3 root cause, PERF_NOTES.md)
+    tag_f = tag.astype(jnp.float32)
     chans = [
         x[:, 0].reshape(shape), x[:, 1].reshape(shape), x[:, 2].reshape(shape),
     ]
@@ -338,29 +360,21 @@ def bucket_forces_pallas_fused(x: Array, v: Array, typ: Array, tag: Array,
         chans += [v[:, 0].reshape(shape), v[:, 1].reshape(shape),
                   v[:, 2].reshape(shape)]
     chans += [
-        bc(h).reshape(shape),
+        tag_f.reshape(shape),
         mask.astype(jnp.float32).reshape(shape),
     ]
     n_types = params.a.shape[0]
-    typ_chan = tag_chan = ex_chan = -1
+    typ_chan = ex_chan = -1
     n_excl = 0
-    if rng_mode == "tea":
-        tag_chan = len(chans)
-        chans.append(bc(tag).reshape(shape))
-    elif rng_mode != "fast":
-        raise ValueError(f"unknown rng_mode {rng_mode!r}")
     if n_types > 1:
         typ_chan = len(chans)
         chans.append(typ.astype(jnp.float32).reshape(shape))
     if params.excl is not None:
         n_excl = params.excl.shape[1]
-        if tag_chan < 0:
-            tag_chan = len(chans)
-            chans.append(bc(tag).reshape(shape))
         ex_chan = len(chans)
-        ex = params.excl[tag]                        # (nr, E) gather
+        ex = params.excl[tag].astype(jnp.float32)    # (nr, E) gather
         for e in range(n_excl):
-            chans.append(bc(ex[:, e]).reshape(shape))
+            chans.append(ex[:, e].reshape(shape))
     n_chan = len(chans)
 
     zc = z_chunks
@@ -453,7 +467,7 @@ def bucket_forces_pallas_fused(x: Array, v: Array, typ: Array, tag: Array,
     out = pl.pallas_call(
         partial(_fused_kernel, k=k, w_lane=w_lane, l_lane=l_lane,
                 rng_mode=rng_mode, rng_rounds=rng_rounds, n_chan=n_chan,
-                n_types=n_types, typ_chan=typ_chan, tag_chan=tag_chan,
+                n_types=n_types, typ_chan=typ_chan,
                 n_excl=n_excl, ex_chan=ex_chan, s_exp=s_exp, xr=xr,
                 bf16_v=bf16_v),
         grid=(ny, zc),
@@ -478,7 +492,7 @@ def bucket_forces_pallas_fused(x: Array, v: Array, typ: Array, tag: Array,
 
 
 def _halo_call(chans, scal, iscal, tab, cfg, ext, rng_mode, rng_rounds,
-               interpret, s_exp, n_types, typ_chan, tag_chan, n_excl,
+               interpret, s_exp, n_types, typ_chan, n_excl,
                ex_chan, vma, valid_plane, xr, model="dpd", ns=0,
                mc_chan=-1, n_out=4):
     """Shared pallas launch over a halo-EXTENDED local brick.
@@ -542,7 +556,7 @@ def _halo_call(chans, scal, iscal, tab, cfg, ext, rng_mode, rng_rounds,
     out = pl.pallas_call(
         partial(_fused_kernel, k=k, w_lane=w_lane, l_lane=l_lane,
                 rng_mode=rng_mode, rng_rounds=rng_rounds, n_chan=n_chan,
-                n_types=n_types, typ_chan=typ_chan, tag_chan=tag_chan,
+                n_types=n_types, typ_chan=typ_chan,
                 n_excl=n_excl, ex_chan=ex_chan, s_exp=s_exp, xr=xr,
                 model=model, ns=ns, mc_chan=mc_chan, n_out=n_out),
         grid=(ny, 1),
@@ -565,23 +579,23 @@ def _halo_call(chans, scal, iscal, tab, cfg, ext, rng_mode, rng_rounds,
 
 
 def _halo_base_chans(channels, rng_mode, n_types, n_excl):
-    bc = lambda a: jax.lax.bitcast_convert_type(a.astype(jnp.int32),
-                                                jnp.float32)
+    """Channel stack for the halo-extended launches: tag / exclusion ids
+    ride as exact f32 VALUES (< 2^24) and both RNG tiers hash them
+    in-kernel — no bitcast integer channels (r3 root cause) and no "h"
+    channel to ship through the halos."""
     chans = [channels["x"], channels["y"], channels["z"], channels["vx"],
-             channels["vy"], channels["vz"], bc(channels["h"]),
+             channels["vy"], channels["vz"],
+             channels["tag"].astype(jnp.float32),
              channels["valid"]]
-    typ_chan = tag_chan = ex_chan = -1
-    if rng_mode == "tea" or n_excl:
-        tag_chan = len(chans)
-        chans.append(bc(channels["tag"]))
+    typ_chan = ex_chan = -1
     if n_types > 1:
         typ_chan = len(chans)
         chans.append(channels["typ"].astype(jnp.float32))
     if n_excl:
         ex_chan = len(chans)
         for e in range(n_excl):
-            chans.append(bc(channels[f"EX{e}"]))
-    return chans, typ_chan, tag_chan, ex_chan
+            chans.append(channels[f"EX{e}"].astype(jnp.float32))
+    return chans, typ_chan, ex_chan
 
 
 @partial(jax.jit, static_argnames=("dt", "cfg", "ext", "rng_mode",
@@ -603,8 +617,9 @@ def halo_forces_pallas_fused(channels: dict, box: Box, step: Array,
     ONE layer per side, except x under the right-spill layout, which needs
     TWO columns per side (slot-cell may exceed true cell by one; VERDICT
     r3 item 3). Axes not in ``ext`` are periodic in-brick and wrap pads
-    are added here. Required keys: x,y,z,vx,vy,vz,h,tag,valid (+typ when
-    n_types>1, +EX* when n_excl>0). Halo coordinates may be raw or
+    are added here. Required keys: x,y,z,vx,vy,vz,tag,valid (+typ when
+    n_types>1, +EX* when n_excl>0); tag/EX* ride as exact f32 values and
+    both RNG tiers hash in-kernel. Halo coordinates may be raw or
     wrap-pre-shifted — the kernel min-images every axis against the
     GLOBAL box.
 
@@ -617,7 +632,7 @@ def halo_forces_pallas_fused(channels: dict, box: Box, step: Array,
         raise NotImplementedError(
             "spill layout under DD requires the x axis to be halo-extended "
             "(1-D slabs / x-decomposed bricks)")
-    chans, typ_chan, tag_chan, ex_chan = _halo_base_chans(
+    chans, typ_chan, ex_chan = _halo_base_chans(
         channels, rng_mode, n_types, n_excl)
     dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
     lens = box.lengths
@@ -638,7 +653,7 @@ def halo_forces_pallas_fused(channels: dict, box: Box, step: Array,
         tab = jnp.zeros((4, 1), jnp.float32)
     out = _halo_call(chans, scal, iscal, tab, cfg, ext, rng_mode,
                      rng_rounds, interpret, s_exp, n_types, typ_chan,
-                     tag_chan, n_excl, ex_chan, vma, channels["valid"], xr)
+                     n_excl, ex_chan, vma, channels["valid"], xr)
     f = jnp.stack([out[0].reshape(nr), out[1].reshape(nr),
                    out[2].reshape(nr)], -1)
     return f, jnp.sum(out[3])
@@ -667,8 +682,7 @@ def halo_forces_pallas_model_fused(channels: dict, box: Box, step: Array,
     if cfg.spill and "x" not in ext:
         raise NotImplementedError(
             "spill layout under DD requires the x axis to be halo-extended")
-    chans, typ_chan, tag_chan, _ = _halo_base_chans(
-        channels, "tea", n_types, 0)   # models always carry the tag channel
+    chans, typ_chan, _ = _halo_base_chans(channels, rng_mode, n_types, 0)
     mc_chan = len(chans)
     if model == "edpd":
         chans.append(channels["T"])
@@ -710,7 +724,7 @@ def halo_forces_pallas_model_fused(channels: dict, box: Box, step: Array,
         tab = jnp.zeros((4, 1), jnp.float32)
     out = _halo_call(chans, scal, iscal, tab, cfg, ext, rng_mode,
                      rng_rounds, interpret, 1.0, n_types, typ_chan,
-                     tag_chan, 0, -1, vma, channels["valid"], xr,
+                     0, -1, vma, channels["valid"], xr,
                      model=model, ns=ns, mc_chan=mc_chan, n_out=n_out)
     f = jnp.stack([out[0].reshape(nr), out[1].reshape(nr),
                    out[2].reshape(nr)], -1)
@@ -722,7 +736,7 @@ def halo_forces_pallas_model_fused(channels: dict, box: Box, step: Array,
 
 
 
-def _model_call(chans, mc_chan, typ_chan, tag_chan, scal, tab, box, step,
+def _model_call(chans, mc_chan, typ_chan, scal, tab, box, step,
                 seed, cfg, rng_mode, rng_rounds, interpret, model, ns,
                 n_out, n_types, z_chunks=0):
     """Shared single-chip launch for the eDPD/tDPD fused kernels."""
@@ -791,7 +805,7 @@ def _model_call(chans, mc_chan, typ_chan, tag_chan, scal, tab, box, step,
     out = pl.pallas_call(
         partial(_fused_kernel, k=k, w_lane=w_lane, l_lane=l_lane,
                 rng_mode=rng_mode, rng_rounds=rng_rounds, n_chan=n_chan,
-                n_types=n_types, typ_chan=typ_chan, tag_chan=tag_chan,
+                n_types=n_types, typ_chan=typ_chan,
                 n_excl=0, ex_chan=-1, s_exp=1.0, xr=xr, model=model,
                 ns=ns, mc_chan=mc_chan, n_out=n_out),
         grid=(ny, zc),
@@ -813,25 +827,26 @@ def _model_call(chans, mc_chan, typ_chan, tag_chan, scal, tab, box, step,
     return out
 
 
-def _model_chans(x, v, typ, tag, mask, step, seed, rng_rounds, shape,
-                 n_types, extra):
-    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
-    h = rngmod.particle_hash(tag, step, seed, rounds=rng_rounds)
+def _model_chans(x, v, typ, tag, mask, shape, n_types, extra):
+    """Model-kernel channel stack: tags as exact f32 VALUES at _TAGV; both
+    RNG tiers hash in-kernel (no bitcast integer channels — r3 root
+    cause, PERF_NOTES.md)."""
+    if x.shape[0] >= (1 << 24):
+        raise ValueError("fused kernel carries tags as exact f32 values; "
+                         "tag ids must stay below 2^24")
     chans = [
         x[:, 0].reshape(shape), x[:, 1].reshape(shape), x[:, 2].reshape(shape),
         v[:, 0].reshape(shape), v[:, 1].reshape(shape), v[:, 2].reshape(shape),
-        bc(h).reshape(shape),
+        tag.astype(jnp.float32).reshape(shape),
         mask.astype(jnp.float32).reshape(shape),
-        bc(tag).reshape(shape),
     ]
-    tag_chan = 8
     typ_chan = -1
     if n_types > 1:
         typ_chan = len(chans)
         chans.append(typ.astype(jnp.float32).reshape(shape))
     mc_chan = len(chans)
     chans += [e.reshape(shape) for e in extra]
-    return chans, tag_chan, typ_chan, mc_chan
+    return chans, typ_chan, mc_chan
 
 
 @partial(jax.jit, static_argnames=("dt", "cfg", "rng_rounds", "interpret",
@@ -850,9 +865,8 @@ def bucket_forces_pallas_edpd_fused(x, v, t, typ, tag, mask, box: Box, step,
     nr = x.shape[0]
     shape = (ny, nz, cfg.capacity, nx)
     n_types = params.a.shape[0]
-    chans, tag_chan, typ_chan, mc_chan = _model_chans(
-        x, v, typ, tag, mask, step, params.seed, rng_rounds, shape,
-        n_types, [t])
+    chans, typ_chan, mc_chan = _model_chans(
+        x, v, typ, tag, mask, shape, n_types, [t])
     lens = box.lengths
     dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
     scal = jnp.stack([
@@ -867,7 +881,7 @@ def bucket_forces_pallas_edpd_fused(x, v, t, typ, tag, mask, box: Box, step,
                          params.kappa.reshape(-1), params.rc.reshape(-1)])
     else:
         tab = jnp.zeros((4, 1), jnp.float32)
-    out = _model_call(chans, mc_chan, typ_chan, tag_chan, scal, tab, box,
+    out = _model_call(chans, mc_chan, typ_chan, scal, tab, box,
                       step, params.seed, cfg, rng_mode, rng_rounds,
                       interpret, "edpd", 0, 5, n_types, z_chunks)
     f = jnp.stack([out[0].reshape(nr), out[1].reshape(nr),
@@ -891,9 +905,9 @@ def bucket_forces_pallas_tdpd_fused(x, v, c, typ, tag, mask, box: Box, step,
     ns = params.n_species
     shape = (ny, nz, cfg.capacity, nx)
     n_types = params.a.shape[0]
-    chans, tag_chan, typ_chan, mc_chan = _model_chans(
-        x, v, typ, tag, mask, step, params.seed, rng_rounds, shape,
-        n_types, [c[:, sp] for sp in range(ns)])
+    chans, typ_chan, mc_chan = _model_chans(
+        x, v, typ, tag, mask, shape, n_types,
+        [c[:, sp] for sp in range(ns)])
     lens = box.lengths
     dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
     per_species = []
@@ -913,7 +927,7 @@ def bucket_forces_pallas_tdpd_fused(x, v, c, typ, tag, mask, box: Box, step,
                          params.rc.reshape(-1)])
     else:
         tab = jnp.zeros((4, 1), jnp.float32)
-    out = _model_call(chans, mc_chan, typ_chan, tag_chan, scal, tab, box,
+    out = _model_call(chans, mc_chan, typ_chan, scal, tab, box,
                       step, params.seed, cfg, rng_mode, rng_rounds,
                       interpret, "tdpd", ns, 4 + ns, n_types, z_chunks)
     f = jnp.stack([out[0].reshape(nr), out[1].reshape(nr),

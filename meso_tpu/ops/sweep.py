@@ -101,7 +101,12 @@ def sweep(channels: dict, ncell, capacity: int, halo: tuple,
 
 
 def make_channels(x, v, tag, mask, h, extra: dict, ncell, capacity: int):
-    """Reshape per-row arrays into plane channels (no halos)."""
+    """Reshape per-row arrays into plane channels (no halos).
+
+    ``h=None`` omits the per-particle hash plane — the fused Pallas
+    kernels hash tag VALUES in-kernel (r3 root cause: bitcast integer
+    channels are corrupted on device) and need no "h" channel; the XLA
+    sweep's fast tier still takes a precomputed hash."""
     nx, ny, nz = ncell
     shape = (ny, nz, capacity, nx)
     ch = {
@@ -109,10 +114,11 @@ def make_channels(x, v, tag, mask, h, extra: dict, ncell, capacity: int):
         "z": x[:, 2].reshape(shape),
         "vx": v[:, 0].reshape(shape), "vy": v[:, 1].reshape(shape),
         "vz": v[:, 2].reshape(shape),
-        "h": h.reshape(shape),
         "tag": tag.reshape(shape),
         "valid": mask.astype(jnp.float32).reshape(shape),
     }
+    if h is not None:
+        ch["h"] = h.reshape(shape)
     for name, arr in extra.items():
         ch[name] = arr.reshape(shape)
     return ch

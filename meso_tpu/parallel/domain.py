@@ -325,8 +325,6 @@ def _halo_forces_model_pallas(state: State, system: System,
     nx, ny, nz = cfg.ncell
     k = cfg.capacity
     nr = ny * nz * k * nx
-    h = rngmod.particle_hash(state.tag, step, params.pair.seed,
-                             rounds=system.rng_rounds)
     extra = {}
     if system.model == "edpd":
         extra["T"] = t
@@ -335,7 +333,9 @@ def _halo_forces_model_pallas(state: State, system: System,
         ns = params.pair.n_species
         for sidx in range(ns):
             extra[f"C{sidx}"] = c[:, sidx]
-    channels = make_channels(x, v, state.tag, state.mask, h, extra,
+    # no "h" channel: the fused kernels hash tag VALUES in-kernel (r3
+    # root cause) — one fewer plane through the halo exchange
+    channels = make_channels(x, v, state.tag, state.mask, None, extra,
                              cfg.ncell, k)
     n_types = params.pair.a.shape[0]
     if n_types > 1:
@@ -457,8 +457,11 @@ def _halo_forces_pallas(state: State, system: System, params: SystemParams,
 
     cfg = dcfg.cells
     k = cfg.capacity
-    h = rngmod.particle_hash(state.tag, step, params.pair.seed,
-                             rounds=system.rng_rounds)
+    # the banded (legacy) kernel still takes a precomputed hash plane;
+    # the fused kernel hashes tag values in-kernel and ships no "h"
+    h = (rngmod.particle_hash(state.tag, step, params.pair.seed,
+                              rounds=system.rng_rounds)
+         if banded else None)
     channels = make_channels(x, v, state.tag, state.mask, h, {},
                              cfg.ncell, k)
     n_types = params.pair.a.shape[0]

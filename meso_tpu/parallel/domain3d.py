@@ -222,6 +222,9 @@ def _halo_forces_3d(state: State, system: System, params: SystemParams,
         # fused Pallas kernel over the fully extended brick — the 3-D
         # multi-chip hot path (SURVEY §2c row 1)
         from meso_tpu.kernels.pair_dpd_fused import halo_forces_pallas_fused
+        # the fused kernel hashes tag values in-kernel: drop the "h"
+        # plane before the exchange (DCE removes its O(N) hash too)
+        channels.pop("h", None)
         padded = _exchange_halos_3d(channels, dcfg)
         f, virial = halo_forces_pallas_fused(
             padded, state.box, step, params.pair, system.dt, cfg,
