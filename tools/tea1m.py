@@ -13,6 +13,9 @@ import jax  # noqa: F401  (device init before heavy imports)
 from tools.v3_1m_probe import subset_gate, timing
 
 if __name__ == "__main__":
+    # settle the v2@1M correctness question on the PORTED (value-carried)
+    # module — the in-probe attempt imported a mid-edit tree and TypeError'd
+    subset_gate(70.0, "v2")
     for zc in (10, 25):
         if subset_gate(70.0, "v3", zc=zc, rng="tea", m=256):
             timing(70.0, zc, rng="tea", rengine="sort")
