@@ -142,12 +142,32 @@ def _probe_device(timeout_s: int = 120) -> bool:
         return False
 
 
+def _wait_for_device(max_wait_s: int = 2700, poll_s: int = 180) -> bool:
+    """Wait-and-retry rung (VERDICT r4 item 2): the worker recovers from
+    crashes in 10-90 min, so a single failed probe must NOT send the
+    official record to the CPU rung. Probe now, then every ``poll_s``
+    until ``max_wait_s`` elapses. Override budget with MESO_BENCH_WAIT_S
+    (0 = single probe, for tests)."""
+    max_wait_s = int(os.environ.get("MESO_BENCH_WAIT_S", max_wait_s))
+    t0 = time.time()
+    if _probe_device():
+        return True
+    while time.time() - t0 < max_wait_s:
+        wait = min(poll_s, max(max_wait_s - (time.time() - t0), 1))
+        sys.stderr.write(f"[bench] worker down {int(time.time() - t0)}s; "
+                         f"re-probing in {int(wait)}s\n")
+        time.sleep(wait)
+        if _probe_device():
+            return True
+    return False
+
+
 def main():
     if os.environ.get("MESO_BENCH_CHILD"):
         _child()
         return
     l = os.environ.get("MESO_BENCH_L", "70")
-    if _probe_device():
+    if _wait_for_device():
         # rung 1: the v3 Newton kernel production config (device-gated by
         # tools/v3_gate3.py + tools/v3_1m_probe.py); explicit z-chunks —
         # auto-zc picks a lane vector the toolchain fails to compile at
@@ -163,8 +183,8 @@ def main():
             ({"MESO_BENCH_L": 32}, 1200),
         ]
     else:
-        sys.stderr.write("[bench] device probe hung/failed — worker down; "
-                         "skipping straight to the CPU rung\n")
+        sys.stderr.write("[bench] worker stayed down for the whole wait "
+                         "budget — falling to the CPU rung\n")
         ladder = []
     # last resort: the TPU worker is unreachable/hung — measure the XLA
     # bucket path on CPU so the driver still gets a record. Sized to ALWAYS

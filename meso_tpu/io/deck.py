@@ -152,12 +152,9 @@ def build_from_deck(deck: dict):
     neigh = deck.get("neighbor", {})
     engine = deck.get("engine", {})
     force_path = str(engine.get("force_path", "nlist"))
-    rng_mode_deck = str(deck.get("rng", {}).get("mode", "tea"))
-    # right-spill packing: default on for the fused pallas kernel with the
-    # fast rng tier (spill+tea is a known device miscompile; PERF_NOTES.md)
-    spill = bool(engine.get("spill",
-                            force_path == "pallas"
-                            and rng_mode_deck != "tea"))
+    # right-spill packing: default on for the fused pallas kernel (every
+    # rng tier — the r2 spill+tea miscompile is closed; tools/v2_gate.py)
+    spill = bool(engine.get("spill", force_path == "pallas"))
     system = System.for_fluid(
         lengths, rc=float(np.max(rc)), density=density,
         dt=float(integ.get("dt", 0.01)),

@@ -36,10 +36,10 @@ def classic_fluid(l: float = 32.0, density: float = 3.0, kt: float = 1.0,
     params = SystemParams.build(
         DPDParams.build(a=a, gamma=gamma, rc=rc, kt=kt, seed=seed))
     if spill is None:
-        # v2 tea tier: spill is disabled (device miscompile; strict buckets
-        # route to the exact sweep). The v3 kernel has no such routing.
-        spill = force_path == "pallas" and (
-            rng_mode != "tea" or pair_kernel.startswith("v3"))
+        # spill packing is the production layout for every fused-kernel
+        # tier since the r3 value-carried port closed the r2 miscompile
+        # registry (tools/v2_gate.py ALL PASS on device, incl. spill+tea)
+        spill = force_path == "pallas"
     system = System.for_fluid([l] * 3, rc=rc, density=density, dt=dt,
                               skin=skin, rebuild_every=rebuild_every,
                               rng_mode=rng_mode, spill=spill,
