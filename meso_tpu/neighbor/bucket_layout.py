@@ -105,32 +105,17 @@ def _unpack_rows(packed: Array, layout: dict, state: State) -> State:
     return State(**kw)
 
 
-def spill_tables(key_s: Array, nx: int, k: int, n_rows_yz: int):
-    """Per-CELL tables of the spill layout, from sorted cell keys:
-
-    - ``starts``: (n_cells+1,) first sorted row of each cell (searchsorted)
-    - ``g_cell``: (n_rows_yz, nx) row-local cummax of cx*K - starts — the
-      segmented prefix max of the r3 scan formulation, constant per cell
-    - ``c0_used``: (n_rows_yz,) occupied slot count of each row's cell 0
-
-    Shared by ``spill_assign`` and the analytic dummy-slot enumeration in
-    ``rebuild_buckets_sort`` so the tables are built once per rebuild.
-    """
-    n_cells = n_rows_yz * nx
-    starts = jnp.searchsorted(
-        key_s, jnp.arange(n_cells + 1, dtype=key_s.dtype),
-        side="left").astype(jnp.int32)
-    a_cell = (jnp.arange(nx, dtype=jnp.int32)[None, :] * k
-              - starts[:n_cells].reshape(n_rows_yz, nx))
-    g_cell = jax.lax.cummax(a_cell, axis=1)
-    row0 = jnp.arange(n_rows_yz, dtype=jnp.int32) * nx
-    c0_used = jnp.minimum(starts[row0 + 1] - starts[row0], k)
-    return starts, g_cell, c0_used
+def _seg_starts(seg: Array) -> Array:
+    """First sorted-row index of each row's segment, for a sorted segment
+    id array: cummax(boundary ? i : 0). The i=0 row needs no fixup — its
+    segment starts at 0 whether or not the rolled comparison flags it."""
+    iota = jnp.arange(seg.shape[0], dtype=jnp.int32)
+    boundary = seg != jnp.roll(seg, 1)
+    return jax.lax.cummax(jnp.where(boundary, iota, 0))
 
 
 def spill_assign(base: Array, cxs: Array, valid_s: Array, n_in: int,
-                 nx: int, k: int, n_rows_yz: int, wrap: bool = True,
-                 tables=None):
+                 nx: int, k: int, n_rows_yz: int, wrap: bool = True):
     """Right-spill slot assignment for cell-sorted rows (see
     ``rebuild_buckets``): within each (cy,cz) row, linear slot
     l = r + cummax_row(cx*K - r) places each particle at its own cell's
@@ -142,44 +127,49 @@ def spill_assign(base: Array, cxs: Array, valid_s: Array, n_in: int,
     column 0 belongs to a DIFFERENT x-window than column nx-1 and halo
     exchange ships only boundary columns (VERDICT r3 item 3).
 
-    Sort-native implementation (VERDICT r4 item 1): the per-row segmented
-    prefix max over 2M rows (associative_scan, 58 ms on device at 1M) is
-    replaced with PER-CELL tables. Because rows arrive sorted by cell key,
-    the prefix max  am_i = max_{j<=i, same row}(cx_j*K - r_j)  is constant
-    within a cell and equals, for cell c in row R,
+    Sort-native implementation (r4, second design): everything derives
+    from PLAIN ``lax.cummax`` passes over the sorted rows — both the r3
+    segmented ``associative_scan`` (58 ms on device at 1M; the pair-carry
+    operator lowers poorly) and the r4.1 per-cell-table formulation
+    (whose big-needle ``searchsorted`` lowers to ~17 chained 2M-row
+    gathers, ~250 ms) are gone. Segment boundaries ride a plain cummax
+    via base-offset packing:
 
-        g_c = cummax_{c'<=c in R}(c'*K - starts[c'])          (row-local)
+        cummax(seg * B + clip(val, 0, B-1)) - seg * B
+            == segmented-cummax(val)    whenever each segment's running
+                                        max is always >= 0
 
-    where starts = searchsorted(key_s, arange(n_cells+1)) — empty cells are
-    dominated by the next present cell (cK - starts[c] < c'K - starts[c']
-    for c < c', starts equal), so including them never changes the max.
-    Then l_lin_i = r_i + am_i = i + g[key_i]: one (n_cells,) cummax over
-    the (n_rows_yz, nx) cell grid + ONE row-sized gather.
+    which holds here: the prefix max of a~ = cx*K - r_loc includes the
+    segment's own first row, whose a~ = cx*K >= 0, so clipping negative
+    a~ to 0 never changes it. Measured device costs at the 1M production
+    shape: plain cummax ~5 ms, the whole assignment ~3 cummaxes + fused
+    elementwise.
 
     Returns (target_row, fits, overflow) — bitwise identical to the scan
     formulation (tests/unit/test_spill_assign.py).
     """
     nr = n_rows_yz * k * nx
-    n_cells = n_rows_yz * nx
-    key_s = base * nx + cxs                      # sorted; invalid = n_cells
-    if tables is None:
-        tables = spill_tables(key_s, nx, k, n_rows_yz)
-    starts, g_cell, c0_used = tables
-    g_flat = g_cell.reshape(-1)
-    # invalid rows (key == n_cells) gather garbage here; every consumer
-    # below is masked by valid_s, and their target is forced OOB
-    l_lin = (jnp.arange(n_in, dtype=jnp.int32)
-             + g_flat[jnp.minimum(key_s, n_cells - 1)])
+    iota = jnp.arange(n_in, dtype=jnp.int32)
+    # rank within the (cy,cz)-row segment (invalid rows: base ==
+    # n_rows_yz > every valid base, so they form their own tail segment
+    # and never perturb a valid one)
+    r_loc = iota - _seg_starts(base)
+    a_t = jnp.maximum(cxs * k - r_loc, 0)        # in [0, (nx-1)*K]
+    am = jax.lax.cummax(base * (nx * k) + a_t) - base * (nx * k)
+    l_lin = r_loc + am
     in_row = valid_s & (l_lin < jnp.minimum((cxs + 2) * k, nx * k))
-    arange_n = jnp.arange(n_in, dtype=jnp.int32)
     if wrap:
         m = l_lin - nx * k
-        # only cx=0 particles can sit in cell 0's block (l_lin >= cx*K),
-        # and for them l_lin = rank-in-cell, so the count of used cell-0
-        # slots is min(count(cell R*nx), K) — pure per-row arithmetic
+        # cell 0's used-slot count: only cx=0 particles can sit in cell
+        # 0's block (l_lin >= cx*K), and for them l_lin = rank-in-cell,
+        # so the count is min(count(cell R*nx), K). All cell-0 rows of a
+        # segment precede any cx=nx-1 row, so the prefix count equals the
+        # full count everywhere wrap_ok reads it.
+        c0 = jnp.where((cxs == 0) & valid_s,
+                       jnp.minimum(r_loc + 1, k), 0)
+        c0_used = jax.lax.cummax(base * (k + 1) + c0) - base * (k + 1)
         wrap_ok = (valid_s & ~in_row & (cxs == nx - 1) & (m >= 0)
-                   & (m < k) & (k - 1 - m >= c0_used[
-                       jnp.minimum(base, n_rows_yz - 1)]))
+                   & (m < k) & (k - 1 - m >= c0_used))
     else:
         wrap_ok = jnp.zeros_like(in_row)
     fits = in_row | wrap_ok
@@ -190,92 +180,26 @@ def spill_assign(base: Array, cxs: Array, valid_s: Array, n_in: int,
     target = (base * k + slot) * nx + cell_a
     # dropped rows get DISTINCT out-of-bounds targets so the scatter can
     # honestly claim unique indices
-    target = jnp.where(fits, target, nr + arange_n)
+    target = jnp.where(fits, target, nr + iota)
     return target, fits, overflow
 
 
-def _gaps_to_targets(s_all: Array, e_all: Array, miss_rank: Array,
-                     nx: int, k: int) -> Array:
-    """Map the j-th missing sorted row to the j-th UNUSED bucket slot,
-    given the per-row ordered non-overlapping used intervals
-    [s_all, e_all) in row-local linear-slot coordinates l = cx*K + slot.
-
-    The gaps between consecutive intervals (and the row tail up to nx*K)
-    enumerate every unused slot; a cumulative gap count + one searchsorted
-    turns a miss rank into (interval, offset) and then into the bucket row
-    index — replacing the r3 used-scatter + full argsort over nr rows
-    (29 ms on device at 1M) with O(n_cells) table work (VERDICT r4 item 1).
-
-    Any bijection misses→unused is correct (dummy rows are zeroed by the
-    live mask after placement), so enumeration order need not match the
-    r3 ascending-target order.
-    """
-    n_rows_yz, j_per_row = s_all.shape
-    nxt = jnp.concatenate(
-        [s_all[:, 1:],
-         jnp.full((n_rows_yz, 1), nx * k, jnp.int32)], axis=1)
-    gap = (nxt - e_all).reshape(-1)
-    cum = jnp.cumsum(gap)
-    cum_ex = cum - gap
-    idx = jnp.searchsorted(cum, miss_rank.astype(cum.dtype), side="right")
-    idx = jnp.minimum(idx, n_rows_yz * j_per_row - 1)
-    l = e_all.reshape(-1)[idx] + (miss_rank - cum_ex[idx])
-    row = idx // j_per_row
-    return (row * k + l % k) * nx + l // k
-
-
-def _unused_targets_spill(miss_rank: Array, tables, nx: int, k: int,
-                          n_rows_yz: int, wrap: bool) -> Array:
-    """Used-interval tables for the SPILL layout, fed to
-    ``_gaps_to_targets``. Within each (cy,cz) row, cell c's particles
-    occupy the contiguous run [starts_c + g_c, starts_{c+1} + g_c) of
-    row-local linear slots, capped at min((c+2)K, nx*K) (the fits bound);
-    consecutive runs never overlap (run_{c+1} starts at
-    starts_{c+1} + g_{c+1} >= starts_{c+1} + g_c = raw end of run c).
-    With wrap relief, the last cell's accepted overflow occupies the
-    descending slots K-1-m of cell 0's block — a single interval sitting
-    strictly between cell 0's run and cell 1's run.
-    """
-    starts, g_cell, c0_used = tables
-    n_cells = n_rows_yz * nx
-    st = starts[:n_cells].reshape(n_rows_yz, nx)
-    st_next = starts[1:n_cells + 1].reshape(n_rows_yz, nx)
-    cap = jnp.minimum((jnp.arange(nx, dtype=jnp.int32) + 2) * k,
-                      nx * k)[None, :]
-    run_s_raw = st + g_cell
-    run_e_raw = st_next + g_cell
-    run_s = jnp.minimum(run_s_raw, cap)
-    run_e = jnp.minimum(run_e_raw, cap)
-    if not wrap:
-        return _gaps_to_targets(run_s, run_e, miss_rank, nx, k)
-    # wrap interval: accepted m = l - nx*K of the last cell's overflow,
-    # m in [m_lo, m_end) with m < K and K-1-m >= c0_used; slots K-1-m
-    # form [K - m_end, K - m_lo). Clamped into [end(run 0), start(run 1)]
-    # so empty intervals keep the global interval ordering monotone.
-    m_lo = jnp.maximum(run_s_raw[:, -1] - nx * k, 0)
-    m_end = jnp.minimum(run_e_raw[:, -1] - nx * k, k - c0_used)
-    m_end = jnp.maximum(m_end, m_lo)
-    lo0 = run_e[:, 0]
-    hi1 = run_s[:, 1]
-    w_s = jnp.clip(k - m_end, lo0, hi1)
-    w_e = jnp.clip(k - m_lo, w_s, hi1)
-    s_all = jnp.concatenate(
-        [run_s[:, :1], w_s[:, None], run_s[:, 1:]], axis=1)
-    e_all = jnp.concatenate(
-        [run_e[:, :1], w_e[:, None], run_e[:, 1:]], axis=1)
-    return _gaps_to_targets(s_all, e_all, miss_rank, nx, k)
-
-
-def _unused_targets_strict(miss_rank: Array, starts: Array, nx: int,
-                           k: int, n_rows_yz: int) -> Array:
-    """Used-interval tables for the STRICT layout: cell c occupies
-    [c*K, c*K + min(count_c, K)) of its own block, nothing spills."""
-    n_cells = n_rows_yz * nx
-    cnt = (starts[1:n_cells + 1] - starts[:n_cells]).reshape(n_rows_yz, nx)
-    blk = (jnp.arange(nx, dtype=jnp.int32) * k)[None, :]
-    s_all = jnp.broadcast_to(blk, cnt.shape)
-    e_all = blk + jnp.minimum(cnt, k)
-    return _gaps_to_targets(s_all, e_all, miss_rank, nx, k)
+def _dummy_targets(target: Array, fits: Array, nr: int) -> Array:
+    """Key every non-fitting sorted row to a distinct UNUSED bucket slot
+    so sort #2's keys form a permutation of [0, nr): one nr-row used-flag
+    scatter + one stable 2-operand sort + one gather (the r3 design, ~29
+    ms on device at 1M — re-adopted after the r4.1 analytic-interval
+    replacement regressed to ~250 ms on its 2M-needle searchsorted).
+    Any bijection misses→unused is correct: dummy rows are zeroed by the
+    live mask after placement."""
+    n_in = target.shape[0]
+    used = jnp.zeros((nr,), jnp.int32).at[target].set(
+        jnp.ones((n_in,), jnp.int32), mode="drop", unique_indices=True)
+    unused_first = jax.lax.sort(
+        [used, jnp.arange(nr, dtype=jnp.int32)], num_keys=1,
+        is_stable=True)[1]
+    miss_rank = jnp.cumsum((~fits).astype(jnp.int32)) - 1
+    return unused_first[jnp.minimum(miss_rank, nr - 1)]
 
 
 def rebuild_buckets(state: State, cfg: CellConfig) -> tuple[State, Array]:
@@ -353,22 +277,80 @@ def _rebuild_buckets_gather(state: State, cfg: CellConfig) -> tuple[State,
     return new, overflow
 
 
+def _state_cols(state: State):
+    """Per-particle fields as a flat list of (n,) NATIVE-dtype columns for
+    multi-operand ``lax.sort`` payloads — no packed-matrix materialization
+    (the sorts are comparison-bound: an 18-operand 2M sort costs the same
+    ~9 ms as a 2-operand one on device) and no int→f32 bitcasting (ints
+    ride as int32 operands; see the CLAUDE.md bitcast-channel rule)."""
+    cols = [state.x[:, 0], state.x[:, 1], state.x[:, 2],
+            state.v[:, 0], state.v[:, 1], state.v[:, 2],
+            state.f[:, 0], state.f[:, 1], state.f[:, 2],
+            state.tag, state.typ, state.mol,
+            state.image[:, 0], state.image[:, 1], state.image[:, 2],
+            state.mask.astype(jnp.int32)]
+    layout = {"x": (0, 3), "v": (3, 3), "f": (6, 3), "tag": (9, 1),
+              "typ": (10, 1), "mol": (11, 1), "image": (12, 3),
+              "mask": (15, 1)}
+    off = 16
+    for name in ("T", "dTdt"):
+        a = getattr(state, name)
+        if a is not None:
+            cols.append(a)
+            layout[name] = (off, 1)
+            off += 1
+    for name in ("C", "dCdt"):
+        a = getattr(state, name)
+        if a is not None:
+            for sp in range(a.shape[1]):
+                cols.append(a[:, sp])
+            layout[name] = (off, a.shape[1])
+            off += a.shape[1]
+    return cols, layout
+
+
+def _state_from_cols(cols, layout, state: State, live: Array) -> State:
+    """Inverse of ``_state_cols``; rows with live=False are zeroed (same
+    zeroing the gather engine applies via its idx_map sentinel)."""
+    def col(name, j=0):
+        o, w = layout[name]
+        c = cols[o + j]
+        return jnp.where(live, c, jnp.zeros((), c.dtype))
+
+    def vec(name):
+        return jnp.stack([col(name, j) for j in range(layout[name][1])],
+                         axis=-1)
+
+    kw = dict(
+        x=vec("x"), v=vec("v"), f=vec("f"),
+        tag=col("tag"), typ=col("typ"), mol=col("mol"), image=vec("image"),
+        mask=col("mask") > 0,
+        box=state.box, step=state.step,
+        T=None, dTdt=None, C=None, dCdt=None)
+    if "T" in layout:
+        kw["T"] = col("T")
+        kw["dTdt"] = col("dTdt")
+    if "C" in layout:
+        kw["C"] = vec("C")
+        kw["dCdt"] = vec("dCdt")
+    return State(**kw)
+
+
 def rebuild_buckets_sort(state: State, cfg: CellConfig) -> tuple[State,
                                                                  Array]:
     """Sort-based rebuild: bitwise-identical placement to
     ``rebuild_buckets`` with the payload moved ONLY through two
     multi-operand ``lax.sort`` networks (VERDICT r3 item 5).
 
-    Measured r2 device facts behind the design (PERF_NOTES.md): a random
-    (2M, 16) row gather costs ~51 ms and the same-shape scatter ~236 ms,
-    while multi-operand lax.sort moves the same payload at key-sort speed
-    (~12.7 ms). So: sort #1 groups rows by cell key (payload rides),
-    the slot assignment runs from per-CELL tables in sorted space
-    (``spill_tables``), non-fitting rows are keyed to the unused padded
-    slots enumerated analytically from the same tables
-    (``_gaps_to_targets`` — r4; no scatter or argsort anywhere), and
-    sort #2 by target row IS the placement (the targets are a permutation
-    of [0, nr)).
+    Measured device facts behind the design (PERF_NOTES.md, 1M shapes):
+    a random (2M, 17) row gather costs ~42 ms and the same-shape scatter
+    ~150+ ms, while multi-operand lax.sort moves the same payload at
+    key-sort speed (~9 ms — comparison-bound). So: sort #1 groups rows by
+    cell key with the payload riding as native-dtype columns, the slot
+    assignment runs as plain cummaxes in sorted space (``spill_assign``),
+    non-fitting rows are keyed to the unused padded slots
+    (``_dummy_targets``), and sort #2 by target row IS the placement (the
+    keys are a permutation of [0, nr)).
     """
     nx, ny, nz = cfg.ncell
     k = cfg.capacity
@@ -379,51 +361,33 @@ def rebuild_buckets_sort(state: State, cfg: CellConfig) -> tuple[State,
     key = (cy * nz + cz) * nx + cx
     key = jnp.where(state.mask, key, nx * ny * nz)
 
-    packed, layout = _pack_rows(state)
-    w = packed.shape[1]
-    cols = [packed[:, i] for i in range(w)]
+    cols, layout = _state_cols(state)
     sorted1 = jax.lax.sort([key] + cols, num_keys=1, is_stable=True)
     key_s, cols = sorted1[0], list(sorted1[1:])
     valid_s = key_s < nx * ny * nz
     base = key_s // nx
     cxs = key_s - base * nx
 
-    # non-fitting sorted rows (padding + overflow) take the unused bucket
-    # slots so sort #2's keys are a permutation of [0, nr); the slots are
-    # enumerated ANALYTICALLY from per-cell tables (r4 — no used-scatter,
-    # no nr-row argsort; see _gaps_to_targets)
     if cfg.spill:
-        wrap_relief = not cfg.wrap_at_rebuild
-        tables = spill_tables(key_s, nx, k, ny * nz)
         target, fits, overflow = spill_assign(
             base, cxs, valid_s, n_in, nx, k, ny * nz,
-            wrap=wrap_relief, tables=tables)
-        miss_rank = jnp.cumsum((~fits).astype(jnp.int32)) - 1
-        t_dummy = _unused_targets_spill(
-            miss_rank, tables, nx, k, ny * nz, wrap=wrap_relief)
+            wrap=not cfg.wrap_at_rebuild)
     else:
-        n_cells = nx * ny * nz
-        starts = jnp.searchsorted(
-            key_s, jnp.arange(n_cells + 1, dtype=key_s.dtype), side="left")
-        rank = jnp.arange(n_in, dtype=jnp.int32) - starts[
-            jnp.minimum(key_s, n_cells)].astype(jnp.int32)
+        # strict rank-in-cell from the same plain-cummax segment trick
+        rank = jnp.arange(n_in, dtype=jnp.int32) - _seg_starts(key_s)
         fits = valid_s & (rank < k)
         overflow = jnp.sum(valid_s & (rank >= k))
         target = (base * k + jnp.minimum(rank, k - 1)) * nx + cxs
         target = jnp.where(fits, target,
                            nr + jnp.arange(n_in, dtype=jnp.int32))
-        miss_rank = jnp.cumsum((~fits).astype(jnp.int32)) - 1
-        t_dummy = _unused_targets_strict(
-            miss_rank, starts.astype(jnp.int32), nx, k, ny * nz)
-    t_full = jnp.where(fits, target, t_dummy).astype(jnp.int32)
+    t_full = jnp.where(fits, target,
+                       _dummy_targets(target, fits, nr)).astype(jnp.int32)
 
-    live = fits.astype(jnp.float32)
+    live = fits.astype(jnp.int32)
     sorted2 = jax.lax.sort([t_full] + cols + [live], num_keys=1,
                            is_stable=True)
-    out_cols, live_s = sorted2[1:-1], sorted2[-1]
-    out = jnp.stack(out_cols, axis=1)
-    out = jnp.where(live_s[:, None] > 0.5, out, 0.0)
-    new = _unpack_rows(out, layout, state)
+    out_cols, live_s = list(sorted2[1:-1]), sorted2[-1]
+    new = _state_from_cols(out_cols, layout, state, live_s > 0)
     return new, overflow
 
 
