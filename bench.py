@@ -47,8 +47,11 @@ def run_config(l, path, skin, every, nsteps, equil=399):
 
     def advance(s, steps):
         if fused:
+            # thermo_trace off: throughput run; kT honesty comes from the
+            # final-state reduction below
             return run_bucket_chunked(system, params, s,
-                                      max(steps // every, 1), every)
+                                      max(steps // every, 1), every,
+                                      thermo_trace=False)
         return run_adaptive(system, params, s, steps)
 
     # equilibrate (hot random start -> kT 1.0) + warm the compile cache

@@ -83,13 +83,13 @@ class System:
     #                               "v3_dynroll" (v3 with traced-offset
     #                               rolls; device support probed by
     #                               tools/toy_dynroll.py)
-    bf16_v: bool = False          # EXPERIMENTAL bf16 velocity channels in
-    #                               the fused kernel (row 31). Interpret
-    #                               mode exact (~3e-4 rel); the current
-    #                               device toolchain MISCOMPILES the bf16
-    #                               band-ref path (TPU_SUITE r2) — keep off
-    #                               on device until the suite INFO line
-    #                               reads < 3e-3
+    bf16_v: bool = False          # bf16 velocity channels in the fused
+    #                               kernel (row 31). Device gate PASSES at
+    #                               3.19e-4 rel (value resolution) since
+    #                               the r3 value-carried port (v2_gate
+    #                               "v2-bf16v-nx8"); off by default until
+    #                               a measured perf win justifies it
+    #                               (VERDICT r4 item 3)
     wrap_mode: str = "step"       # "step": box-wrap positions every step
     #                               (reference semantics). "rebuild": defer
     #                               wrapping to rebuild time — positions
@@ -143,23 +143,25 @@ def _move_mask(system: System, typ: Array, mask: Array) -> Array:
     return mm
 
 
+def _per_type(table: Array, typ: Array) -> Array:
+    """Per-particle value from a (T,) per-type table. Single-type systems
+    skip the (n,)-row gather entirely (a 2M gather is ~5-20 ms on device
+    — measurable at every step of the fused loop); the (1,) slice
+    broadcasts against (n,)/(n, d) consumers."""
+    if table.shape[0] == 1:
+        return table[:1]
+    return table[typ]
+
+
 def compute_forces(system: System, params: SystemParams, state: State,
                    x: Array, v: Array, step: Array, nlist_idx=None,
                    t=None, c=None):
     """Dispatch to the configured model + force path. Returns (f, aux dict);
     aux carries 'virial' and, per model, 'dTdt' / 'dCdt'."""
-    if (system.force_path == "pallas" and system.cells is not None
-            and system.cells.spill and system.rng_mode == "tea"
-            and not (system.model == "dpd"
-                     and system.pair_kernel.startswith("v3"))):
-        # KNOWN ISSUE (r2): spill + TEA miscompiles on this device
-        # toolchain (rel ~1.2 vs dense; fast tier and interpret are exact).
-        # Guard covers ALL fused-kernel models (classic/eDPD/tDPD) — the
-        # eDPD/tDPD fused routes hit the same kernel (ADVICE r2).
-        raise ValueError(
-            "spill layout with rng_mode='tea' is disabled (device "
-            "toolchain miscompile; see PERF_NOTES.md) — build the "
-            "system with spill=False for the tea tier")
+    # r2's spill+tea guard is GONE: the miscompile family was root-caused
+    # to integer bit patterns bitcast into the f32 channel stack; the
+    # value-carried port passes the full device re-gate (tools/v2_gate.py
+    # ALL PASS incl. spill+tea at 1.35e-7 — r3 device session, PERF_NOTES).
     if system.model == "edpd":
         if system.force_path == "dense":
             from meso_tpu.ops.edpd import dense_forces_edpd as efn
@@ -174,16 +176,19 @@ def compute_forces(system: System, params: SystemParams, state: State,
                 params.pair, system.dt, system.cells,
                 rng_rounds=system.rng_rounds, rng_mode=system.rng_mode)
         elif system.force_path == "pallas":
-            if not system.cells.spill:
-                # same small-shape Mosaic routing as classic (see below)
-                from meso_tpu.ops.edpd import bucket_forces_edpd as efn
+            if system.pair_kernel.startswith("v3"):
+                # Newton kernel eDPD port (VERDICT r4 item 5): half the
+                # candidates + flux reactions from the same pair visit
+                from meso_tpu.kernels.pair_dpd_v3 import \
+                    bucket_forces_pallas_v3_edpd as efn
             else:
                 from meso_tpu.kernels.pair_dpd_fused import \
                     bucket_forces_pallas_edpd_fused as efn
             f, dtdt, virial = efn(
                 x, v, t, state.typ, state.tag, state.mask, state.box, step,
                 params.pair, system.dt, system.cells,
-                rng_rounds=system.rng_rounds, rng_mode=system.rng_mode)
+                rng_rounds=system.rng_rounds, rng_mode=system.rng_mode,
+                z_chunks=system.z_chunks)
         elif system.force_path == "pallas_banded":
             from meso_tpu.kernels.pair_multiphysics import \
                 bucket_forces_pallas_edpd as efn
@@ -208,15 +213,17 @@ def compute_forces(system: System, params: SystemParams, state: State,
                 params.pair, system.dt, system.cells,
                 rng_rounds=system.rng_rounds, rng_mode=system.rng_mode)
         elif system.force_path == "pallas":
-            if not system.cells.spill:
-                from meso_tpu.ops.tdpd import bucket_forces_tdpd as tfn
+            if system.pair_kernel.startswith("v3"):
+                from meso_tpu.kernels.pair_dpd_v3 import \
+                    bucket_forces_pallas_v3_tdpd as tfn
             else:
                 from meso_tpu.kernels.pair_dpd_fused import \
                     bucket_forces_pallas_tdpd_fused as tfn
             f, dcdt, virial = tfn(
                 x, v, c, state.typ, state.tag, state.mask, state.box, step,
                 params.pair, system.dt, system.cells,
-                rng_rounds=system.rng_rounds, rng_mode=system.rng_mode)
+                rng_rounds=system.rng_rounds, rng_mode=system.rng_mode,
+                z_chunks=system.z_chunks)
         elif system.force_path == "pallas_banded":
             from meso_tpu.kernels.pair_multiphysics import \
                 bucket_forces_pallas_tdpd as tfn
@@ -252,19 +259,10 @@ def compute_forces(system: System, params: SystemParams, state: State,
                 s_exp=system.s_exp, z_chunks=system.z_chunks,
                 dyn_roll=system.pair_kernel == "v3_dynroll")
             return f, {"virial": virial}
-        if not system.cells.spill:
-            # KNOWN ISSUE (r2, 2026-08-16): the compiled strict-bucket
-            # fused kernel miscomputes on some small shapes (observed at
-            # ncell=6^3/w_lane=8 on the axon v5e; interpret mode and the
-            # spill variant are exact). Production always uses spill
-            # (auto-on for ncx >= 5); strict buckets route to the exact
-            # XLA sweep until the Mosaic-level trigger is isolated.
-            from meso_tpu.ops.bucket_dpd import bucket_forces_xla as bf
-            f, virial = bf(
-                x, v, state.typ, state.tag, state.mask, state.box, step,
-                params.pair, system.dt, system.cells,
-                rng_mode=system.rng_mode, rng_rounds=system.rng_rounds)
-            return f, {"virial": virial}
+        # strict (non-spill) layouts run the fused kernel directly again:
+        # the r2 strict-small-shape miscompile was the bitcast-channel root
+        # cause, re-gated PASS on the exact r2 trigger shape (v2_gate
+        # "v2-strict-nx6", rel <= 5e-5 on device)
         from meso_tpu.kernels.pair_dpd_fused import bucket_forces_pallas_fused
         f, virial = bucket_forces_pallas_fused(
             x, v, state.typ, state.tag, state.mask, state.box, step,
@@ -325,7 +323,7 @@ def make_step(system: System, with_aux: bool = False):
                              "positions every step)")
 
     def step_fn(params: SystemParams, state: State, nlist_idx=None):
-        inv_m = params.inv_mass[state.typ]
+        inv_m = _per_type(params.inv_mass, state.typ)
         move = _move_mask(system, state.typ, state.mask)
         new_step = state.step + 1
 
@@ -574,34 +572,47 @@ def run_bucket_fixed(system: System, params: SystemParams, state: State,
     return state, {"bucket_overflow": of_max, "worst_skin_ratio": worst}
 
 
-@partial(jax.jit, static_argnames=("system", "steps_per_chunk"))
+@partial(jax.jit, static_argnames=("system", "steps_per_chunk",
+                                   "thermo_trace"))
 def _bucket_chunk(system: System, params: SystemParams, state: State,
-                  steps_per_chunk: int):
+                  steps_per_chunk: int, thermo_trace: bool = True):
     """One (rebuild + steps) chunk — the body of the host-chunked loop.
-    Also emits a per-step kinetic-temperature trace (device-side thermo;
-    SURVEY.md §5.5) as a scan output."""
+    thermo_trace=True also emits a per-step kinetic-temperature + virial
+    trace (device-side thermo; SURVEY.md §5.5) as a scan output; False
+    skips the per-step reductions (a few ms/step at 2M rows) for
+    throughput-only runs that read thermo from the final state."""
     from meso_tpu.neighbor.bucket_layout import rebuild_buckets
     from meso_tpu.obs.thermo import kinetic_temperature
 
-    step_fn = make_step(system, with_aux=True)
+    step_fn = make_step(system, with_aux=thermo_trace)
     state, of = rebuild_buckets(state, system.cells)
     x_ref = state.x
-    mass = params.mass[state.typ]
 
-    def body(s, _):
-        s, aux = step_fn(params, s)
-        return s, (kinetic_temperature(s.v, mass, s.mask), aux["virial"])
+    if thermo_trace:
+        mass = _per_type(params.mass, state.typ)
 
-    state, (kts, virs) = jax.lax.scan(body, state, None,
-                                      length=steps_per_chunk)
+        def body(s, _):
+            s, aux = step_fn(params, s)
+            return s, (kinetic_temperature(s.v, mass, s.mask),
+                       aux["virial"])
+    else:
+        def body(s, _):
+            return step_fn(params, s), ()
+
+    state, trace = jax.lax.scan(body, state, None,
+                                length=steps_per_chunk)
+    if not thermo_trace:
+        z = jnp.zeros((0,), jnp.float32)
+        trace = (z, z)
     disp = jnp.sqrt(max_displacement_sq(state.x, x_ref, state.mask,
                                         state.box))
-    return state, of, disp, (kts, virs)
+    return state, of, disp, trace
 
 
 def run_bucket_chunked(system: System, params: SystemParams, state: State,
                        nchunks: int, steps_per_chunk: int,
-                       max_trace_steps: int = 100_000):
+                       max_trace_steps: int = 100_000,
+                       thermo_trace: bool = True):
     """Host loop over jitted (rebuild + steps) chunks — the production/bench
     loop on the axon backend, where an outer lax.scan carries a large
     per-iteration penalty (PERF_NOTES.md) but per-call dispatch is ~40 us.
@@ -616,8 +627,9 @@ def run_bucket_chunked(system: System, params: SystemParams, state: State,
     ofs, disps, kts, virs = [], [], [], []
     of_hwm = disp_hwm = None   # high-water marks of evicted chunk scalars
     for _ in range(nchunks):
-        state, of, disp, (kt, vir) = _bucket_chunk(system, params, state,
-                                                   steps_per_chunk)
+        state, of, disp, (kt, vir) = _bucket_chunk(
+            system, params, state, steps_per_chunk,
+            thermo_trace=thermo_trace)
         ofs.append(of)      # device scalars; no host sync inside the loop
         disps.append(disp)
         kts.append(kt)

@@ -155,17 +155,39 @@ def build_from_deck(deck: dict):
     # right-spill packing: default on for the fused pallas kernel (every
     # rng tier — the r2 spill+tea miscompile is closed; tools/v2_gate.py)
     spill = bool(engine.get("spill", force_path == "pallas"))
+    wrap_mode = str(engine.get("wrap_mode", "step"))
+    if wrap_mode == "rebuild" and spill:
+        # VERDICT r4 item 8: deferred wrap disables spill wrap relief —
+        # overflows K=16 at large boxes (of=42 at 1M; PERF_NOTES r3)
+        import warnings
+        warnings.warn(
+            "engine.wrap_mode='rebuild' with spill packing disables the "
+            "wrap-relief slots: at large boxes (ncx ~ 50, 1M particles) "
+            "this overflows capacity K=16 (PERF_NOTES r3 probe: of=42). "
+            "Deferred wrap is a small/medium-box optimization; the run "
+            "will abort loudly on bucket_overflow > 0.", stacklevel=2)
+
+    def _engine_kw():
+        return dict(
+            spill=spill, rebuild=str(engine.get("rebuild", "gather")),
+            wrap_mode=wrap_mode)
+
+    def _engine_replace(sys_):
+        return sys_.replace(
+            lam=float(integ.get("lambda_", integ.get("lambda", 0.5))),
+            force_path=force_path,
+            pair_kernel=str(engine.get("pair_kernel", "v2")),
+            z_chunks=int(engine.get("z_chunks", 0)))
+
     system = System.for_fluid(
         lengths, rc=float(np.max(rc)), density=density,
         dt=float(integ.get("dt", 0.01)),
         skin=float(neigh.get("skin", 0.3)),
         rebuild_every=int(neigh.get("rebuild_every", 10)),
         rng_mode=str(deck.get("rng", {}).get("mode", "tea")),
-        spill=spill,
+        **_engine_kw(),
     )
-    system = system.replace(
-        lam=float(integ.get("lambda_", integ.get("lambda", 0.5))),
-        force_path=force_path)
+    system = _engine_replace(system)
 
     create = atoms.get("create", "random")
     if create == "random":
@@ -183,15 +205,14 @@ def build_from_deck(deck: dict):
         n = data["n"]
         lengths = [float(v) for v in (data["box_hi"] - data["box_lo"])]
         density = n / float(np.prod(lengths))
-        system = System.for_fluid(
+        system = _engine_replace(System.for_fluid(
             lengths, rc=float(np.max(rc)), density=density,
             dt=float(integ.get("dt", 0.01)),
             skin=float(neigh.get("skin", 0.3)),
             rebuild_every=int(neigh.get("rebuild_every", 10)),
             rng_mode=str(deck.get("rng", {}).get("mode", "tea")),
-            spill=spill,
-        ).replace(lam=float(integ.get("lambda_", integ.get("lambda", 0.5))),
-                  force_path=force_path)
+            **_engine_kw(),
+        ))
         if data["masses"] is not None:
             params = SystemParams.build(pair, mass=data["masses"])
         if data["bonds"] is not None:

@@ -76,15 +76,20 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
                rng_rounds: int, n_chan: int, n_types: int, typ_chan: int,
                tag_chan: int, n_excl: int, ex_chan: int, s_exp: float,
                xr: int, dyn_roll: bool, nx: int, nzc: int, zc: int,
-               z_halo: bool, debug_pairs: bool, min_image: bool):
+               z_halo: bool, debug_pairs: bool, min_image: bool,
+               model: str = "dpd", ns: int = 0, mc_chan: int = -1):
     """One grid step = one (cy row, z-chunk).
 
     Inputs: scal, iscal, tab, jm, offs (SMEM); mid band block, down band
     block (VMEM (C, 1, 1, K, L)). The per-lane rc^2 row (pad lanes -> -1)
     is built in-kernel from iota: a (1, L) VMEM *input* would be an
     unaligned block (sublane dim < 8) — Mosaic rejects it.
-    Output: (4, 2, 1, 1, K, L) — [:, 0] = contributions to row cy,
+    Output: (n_out, 2, 1, 1, K, L) — [:, 0] = contributions to row cy,
     [:, 1] = reactions onto row cy+1 (rolled down by the epilogue).
+    n_out = 4 (fx, fy, fz, vir) + the model's extra flux channels (eDPD
+    heat q, tDPD per-species dC — SURVEY rows 22-23): each extra is
+    Newton-paired like the force, with the eDPD viscous part q^V counted
+    symmetrically (both sides +q^V) and q^C/q^R antisymmetrically.
     """
     (scal_ref, iscal_ref, tab_ref, jm_ref, offs_ref, b_mid,
      b_down, out_ref) = refs
@@ -100,6 +105,17 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
     inv_lz = scal_ref[0, 9]
     excl_w = scal_ref[0, 10]
     inv_rc = scal_ref[0, 11]
+    # models: the s_ij slot (scal[0,2] / tab row 2) carries kappa for
+    # eDPD (per-pair sigma is derived from T_i, T_j in-kernel) and
+    # sigma/sqrt(dt) otherwise, exactly as the v2 fused kernel
+    n_extra = (1 if model == "edpd" else ns)
+    if model == "edpd":
+        dt_inv_sqrt = scal_ref[0, 12]
+        inv_mass = scal_ref[0, 13]
+    elif model == "tdpd":
+        dt_inv_sqrt = scal_ref[0, 12]
+        rcc = scal_ref[0, 13]
+        s1 = scal_ref[0, 14]
     # both tiers derive their randoms in-kernel from tag VALUES
     step_u = iscal_ref[0, 0].astype(jnp.uint32)
     seed_u = iscal_ref[0, 1].astype(jnp.uint32)
@@ -239,12 +255,71 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
             tgs, tgj = selfc(tag_chan), row[tag_chan]
             lo = jnp.minimum(tgs, tgj).astype(jnp.int32).astype(jnp.uint32)
             hi = jnp.maximum(tgs, tgj).astype(jnp.int32).astype(jnp.uint32)
-            v0, _ = rngmod.tea(lo, hi, step_u, seed_u, rounds=rng_rounds)
-            theta = rngmod._u32_to_symmetric_uniform(v0)
+            hp, _ = rngmod.tea(lo, hi, step_u, seed_u, rounds=rng_rounds)
         else:
             # row[-1] = the group's in-kernel hash block (int32, rolled
             # as int32 — the proven-safe order)
-            theta = rngmod.pair_uniform_fast(self_h, row[-1])
+            hp = rngmod.combine_symmetric(self_h, row[-1])
+        if model != "dpd":
+            # eDPD/tDPD (SURVEY A.2/A.3): symmetric pair hash -> several
+            # independent noise streams; antisymmetric streams carry the
+            # tag-order sign (exact f32 value compare) — the exact math
+            # of the v2 fused/sweep paths (parity-tested). The Newton
+            # reaction negates antisymmetric fluxes and keeps symmetric
+            # ones, so BOTH q(i<-j) and q(j<-i) come from this one visit.
+            theta = rngmod.uniform_stream(hp, 0)
+            sign = jnp.where(selfc(tag_chan) < row[tag_chan], 1.0, -1.0)
+            w2 = w * w
+            if model == "edpd":
+                ts = selfc(mc_chan)
+                tj = row[mc_chan]
+                sigma2 = 4.0 * g_ij * ts * tj / jnp.maximum(ts + tj, 1e-12)
+                sigma = jnp.sqrt(jnp.maximum(sigma2, 0.0))
+                fmag = (a_ij * w - g_ij * w2 * ev
+                        + sigma * w * theta * dt_inv_sqrt)
+                fmag = jnp.where(ok, fmag, 0.0)
+                k_ij = s_ij * 0.25 * (ts + tj) ** 2   # s_ij = kappa here
+                q_c = k_ij * w2 * (1.0 / jnp.maximum(ts, 1e-12)
+                                   - 1.0 / jnp.maximum(tj, 1e-12))
+                q_v = 0.5 * (w2 * (g_ij * ev * ev - sigma2 * inv_mass)
+                             - sigma * w * ev * theta * dt_inv_sqrt)
+                zeta = sign * rngmod.uniform_stream(hp, 1)
+                beta = jnp.sqrt(jnp.maximum(2.0 * k_ij, 0.0))
+                q_r = beta * w * zeta * dt_inv_sqrt
+                q_asym = jnp.where(ok, q_c + q_r, 0.0)
+                q_sym = jnp.where(ok, q_v, 0.0)
+                # target side gets q_asym + q_sym; the reaction
+                # accumulator SUBTRACTS, so hand it q_asym - q_sym
+                d_extras = (q_asym + q_sym,)
+                r_extras = (q_asym - q_sym,)
+            else:  # tdpd
+                fmag = (a_ij * w - g_ij * w2 * ev + s_ij * w * theta)
+                fmag = jnp.where(ok, fmag, 0.0)
+                inside_c = ok & (r2 < rcc * rcc)
+                wdc_base = jnp.maximum(1.0 - rr / rcc, 0.0)
+                wdc = jnp.where(s1 == 1.0, wdc_base,
+                                jnp.power(wdc_base, s1))
+                wrc = jnp.sqrt(wdc)
+                d_extras = []
+                for sp in range(ns):
+                    kap_s = scal_ref[0, 15 + 2 * sp]
+                    eps_s = scal_ref[0, 16 + 2 * sp]
+                    ci = selfc(mc_chan + sp)
+                    cj = row[mc_chan + sp]
+                    xi = sign * rngmod.uniform_stream(hp, 2 + sp)
+                    qd = -kap_s * wdc * (ci - cj)
+                    qr = eps_s * wrc * xi * dt_inv_sqrt
+                    d_extras.append(jnp.where(inside_c, qd + qr, 0.0))
+                d_extras = tuple(d_extras)
+                r_extras = d_extras          # purely antisymmetric
+            fr = fmag * rinv
+            dfx, dfy, dfz = fr * drx, fr * dry, fr * drz
+            dvir = fmag * rr
+            reacts = tuple(
+                jnp.sum(p, axis=0, keepdims=True)
+                for p in (dfx, dfy, dfz) + r_extras)
+            return (dfx, dfy, dfz, dvir) + d_extras + reacts
+        theta = rngmod._u32_to_symmetric_uniform(hp)
         if s_exp == 1.0:
             # factored form (wr == w): one fewer multiply chain
             fmag = w * (a_ij - (g_ij * w) * ev + s_ij * theta)
@@ -303,6 +378,11 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
 
     r_iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, l_lane), 0)
 
+    n_tacc = 4 + n_extra            # target accumulators (fx,fy,fz,vir,+)
+    n_react = 3 + n_extra           # reaction channels (no virial react)
+    # out channels the reaction blocks land in (virial channel 3 skipped)
+    react_chans = [0, 1, 2] + [4 + i for i in range(n_extra)]
+
     def run_rows(rows, off, acc, g0, center=False):
         """All 8 source rows of one rolled group vs the tile.
 
@@ -312,25 +392,22 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
         on non-concat dimension", CLAUDE.md r3) — then back-rolled once
         per offset into the group's (8, L) reaction accumulator.
         """
-        fx, fy, fz, vir, gbx, gby, gbz = acc
-        a8x = a8y = a8z = jnp.zeros((8, l_lane), jnp.float32)
+        tacc = list(acc[:n_tacc])
+        gb = list(acc[n_tacc:])
+        a8 = [jnp.zeros((8, l_lane), jnp.float32)] * n_react
         # center pass, group 0: slot 0 has no lower slot to pair with
         r_first = 1 if (center and g0 == 0) else 0
         for r in range(r_first, 8):
-            dfx, dfy, dfz, dvir, rfx, rfy, rfz = pair_rows(
-                rows, r, center_j=(g0 + r) if center else None)
-            fx = fx + dfx
-            fy = fy + dfy
-            fz = fz + dfz
-            vir = vir + dvir
+            res = pair_rows(rows, r,
+                            center_j=(g0 + r) if center else None)
             sel = r_iota8 == r
-            a8x = a8x + jnp.where(sel, rfx, 0.0)
-            a8y = a8y + jnp.where(sel, rfy, 0.0)
-            a8z = a8z + jnp.where(sel, rfz, 0.0)
-        gbx = gbx - roll_back(a8x, off)
-        gby = gby - roll_back(a8y, off)
-        gbz = gbz - roll_back(a8z, off)
-        return fx, fy, fz, vir, gbx, gby, gbz
+            for i in range(n_tacc):
+                tacc[i] = tacc[i] + res[i]
+            for i in range(n_react):
+                a8[i] = a8[i] + jnp.where(sel, res[n_tacc + i], 0.0)
+        for i in range(n_react):
+            gb[i] = gb[i] - roll_back(a8[i], off)
+        return tuple(tacc) + tuple(gb)
 
     def band_pass(band_ref, offs, base, jm, acc, plane):
         """One band over its offset list (plane=0 adds the (0,0)
@@ -343,8 +420,7 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
         g8 = jnp.zeros((8, l_lane), jnp.float32)
         for g0 in groups:
             def do_group(acc=acc, g0=g0):
-                fx, fy, fz, vir = acc
-                acc2 = (fx, fy, fz, vir, g8, g8, g8)
+                acc2 = tuple(acc) + (g8,) * n_react
                 raw = read_group(band_ref, g0)
                 if center:
                     acc2 = run_rows(raw, 0, acc2, g0, center=True)
@@ -361,40 +437,37 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
                 return acc2
 
             if g0 == 0 and center:
-                acc7 = do_group()
+                accf = do_group()
             else:
-                acc7 = jax.lax.cond(
+                accf = jax.lax.cond(
                     jm > g0, do_group,
-                    lambda acc=acc: (acc[0], acc[1], acc[2], acc[3],
-                                     g8, g8, g8))
-            fx, fy, fz, vir, gbx, gby, gbz = acc7
-            acc = (fx, fy, fz, vir)
+                    lambda acc=acc: tuple(acc) + (g8,) * n_react)
+            acc = accf[:n_tacc]
+            gb = accf[n_tacc:]
             # unconditional aligned store (skipped groups add zeros)
             sl = slice(g0, g0 + 8)
-            out_ref[0, plane, 0, 0, sl, :] = (
-                out_ref[0, plane, 0, 0, sl, :] + gbx)
-            out_ref[1, plane, 0, 0, sl, :] = (
-                out_ref[1, plane, 0, 0, sl, :] + gby)
-            out_ref[2, plane, 0, 0, sl, :] = (
-                out_ref[2, plane, 0, 0, sl, :] + gbz)
+            for oc, gbi in zip(react_chans, gb):
+                out_ref[oc, plane, 0, 0, sl, :] = (
+                    out_ref[oc, plane, 0, 0, sl, :] + gbi)
         return acc
 
     # out_ref starts as the reaction accumulator: plane 0 collects the
     # same-row (mid band) reactions — they ARE row cy — and plane 1 the
     # down-band reactions (row cy+1, rolled down by the XLA epilogue);
     # the target-side register accumulators are added at the end.
-    for c in range(4):
+    for c in range(n_tacc):
         out_ref[c, 0, 0, 0] = zero
         out_ref[c, 1, 0, 0] = zero
-    acc = (zero, zero, zero, zero)
+    acc = (zero,) * n_tacc
     acc = band_pass(b_mid, mid_half, mid_base, jm_mid, acc, plane=0)
-    fx, fy, fz, vir = band_pass(b_down, down_full, down_base, jm_down, acc,
-                                plane=1)
+    accf = band_pass(b_down, down_full, down_base, jm_down, acc, plane=1)
 
-    out_ref[0, 0, 0, 0] = out_ref[0, 0, 0, 0] + fx
-    out_ref[1, 0, 0, 0] = out_ref[1, 0, 0, 0] + fy
-    out_ref[2, 0, 0, 0] = out_ref[2, 0, 0, 0] + fz
-    out_ref[3, 0, 0, 0] = vir
+    out_ref[0, 0, 0, 0] = out_ref[0, 0, 0, 0] + accf[0]
+    out_ref[1, 0, 0, 0] = out_ref[1, 0, 0, 0] + accf[1]
+    out_ref[2, 0, 0, 0] = out_ref[2, 0, 0, 0] + accf[2]
+    out_ref[3, 0, 0, 0] = accf[3]
+    for i in range(n_extra):
+        out_ref[4 + i, 0, 0, 0] = out_ref[4 + i, 0, 0, 0] + accf[4 + i]
 
 
 # Static-path lane-length rule (device toolchain bug, PERF_NOTES r3):
@@ -432,18 +505,33 @@ def _w_rule(w: int) -> int:
     return w
 
 
+# Largest lane length the device toolchain is KNOWN to compile, per RNG
+# tier (VERDICT r4 item 4 — auto-zc must never pick a non-compiling lane
+# vector). Measured on the axon v5e: fast l_lane=648 compiles (the 1M
+# zc=5 production record) while 1458 fails (auto zc=2 at 1M); tea
+# l_lane=648 fails while 378 compiles (tools/tea1m.py zc=10). The true
+# Mosaic threshold between those points is unprobed — raise these only
+# with a new device compile record (tools/v3_compile_probe.py).
+_MAX_L_LANE = {"fast": 648, "tea": 378}
+
+
 def _auto_z_chunks(n_chan: int, k: int, nz: int, w_lane: int,
                    budget_bytes: int = 9 * 2 ** 20,
-                   z_halo_always: bool = False) -> int:
-    """Smallest divisor of nz keeping the kernel VMEM footprint in budget:
-    2 band blocks + the double output block, double-buffered, plus working
-    tiles for the unrolled 8-row group body."""
+                   z_halo_always: bool = False,
+                   max_lane: int | None = None) -> int:
+    """Smallest divisor of nz keeping the kernel VMEM footprint in budget
+    AND the physical lane length within the device-validated compile
+    range: 2 band blocks + the double output block, double-buffered, plus
+    working tiles for the unrolled 8-row group body."""
     k_phys = -(-k // 8) * 8
     for zc in range(1, nz + 1):
         if nz % zc:
             continue
         halo = 2 if (zc > 1 or z_halo_always) else 0
-        l_phys = -(-((nz // zc + halo) * w_lane) // 128) * 128
+        l_log = (nz // zc + halo) * w_lane       # the actual l_lane
+        if max_lane is not None and l_log > max_lane and zc < nz:
+            continue
+        l_phys = -(-l_log // 128) * 128
         per_block = k_phys * l_phys * 4
         total = (2 * 2 * n_chan + 2 * 8 + 24) * per_block
         if total <= budget_bytes:
@@ -451,26 +539,28 @@ def _auto_z_chunks(n_chan: int, k: int, nz: int, w_lane: int,
     return nz
 
 
-@partial(jax.jit, static_argnames=("dt", "cfg", "rng_mode", "rng_rounds",
-                                   "interpret", "s_exp", "z_chunks",
-                                   "dyn_roll", "debug_pairs", "lane_pad",
-                                   "w_pad"))
-def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
-                            mask: Array, box: Box, step: Array,
-                            params: DPDParams, dt: float, cfg: CellConfig,
-                            rng_mode: str = "fast", rng_rounds: int = 8,
-                            interpret: bool | None = None,
-                            s_exp: float = 1.0, z_chunks: int = 0,
-                            dyn_roll: bool = False,
-                            debug_pairs: bool = False, lane_pad: int = 0,
-                            w_pad: int = 0):
-    """Forces for bucket-resident rows via the Newton fused-lane kernel.
+def _v3_forces(x: Array, v: Array, typ: Array, tag: Array,
+               mask: Array, box: Box, step: Array,
+               pair_tab, seed, dt: float, cfg: CellConfig,
+               rng_mode: str, rng_rounds: int,
+               interpret: bool | None, s_exp: float, z_chunks: int,
+               dyn_roll: bool, debug_pairs: bool, lane_pad: int,
+               w_pad: int, model: str = "dpd", extras=(),
+               scal_tail=(), excl=None, excl_w=None):
+    """Shared Newton fused-lane driver for all three pair models.
 
-    Interface matches ``bucket_forces_pallas_fused`` (its bit-reference up
-    to fp addition order). Returns (f (nr, 3), virial).
+    ``pair_tab`` = (a, gamma, s, rc) (T,T) tables with s = sigma/sqrt(dt)
+    (dpd/tdpd) or kappa (eDPD); ``extras`` = per-particle scalar fields
+    appended to the channel stack (eDPD T, tDPD C species) whose pair
+    fluxes come back as extra output planes; ``scal_tail`` = model
+    scalars appended after the 12 base SMEM entries. Returns
+    (f (nr, 3), virial, extra_outs tuple of (nr,) arrays).
     """
     if interpret is None:
         interpret = os.environ.get("MESO_PALLAS_INTERPRET") == "1"
+    a_t, g_t, s_t, rc_t = pair_tab
+    ns = len(extras) if model == "tdpd" else 0
+    n_extra = 1 if model == "edpd" else ns
     nx, ny, nz = cfg.ncell
     k = cfg.capacity
     nr = x.shape[0]
@@ -509,8 +599,8 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
         v[:, 0].reshape(shape), v[:, 1].reshape(shape), v[:, 2].reshape(shape),
         tag_f.reshape(shape), vmask,
     ]
-    n_types = params.a.shape[0]
-    typ_chan = ex_chan = -1
+    n_types = a_t.shape[0]
+    typ_chan = ex_chan = mc_chan = -1
     tag_chan = _TAGV
     n_excl = 0
     if rng_mode not in ("tea", "fast"):
@@ -518,10 +608,14 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
     if n_types > 1:
         typ_chan = len(chans)
         chans.append(typ.astype(jnp.float32).reshape(shape))
-    if params.excl is not None:
-        n_excl = params.excl.shape[1]
+    if extras:
+        mc_chan = len(chans)
+        for fld in extras:
+            chans.append(fld.reshape(shape))
+    if excl is not None:
+        n_excl = excl.shape[1]
         ex_chan = len(chans)
-        ex = params.excl[tag]                        # (nr, E) gather
+        ex = excl[tag]                               # (nr, E) gather
         for e in range(n_excl):
             chans.append(ex[:, e].astype(jnp.float32).reshape(shape))
     n_chan = len(chans)
@@ -529,7 +623,9 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
     zc = z_chunks
     if zc <= 0:
         zc = _auto_z_chunks(n_chan, k, nz, w_lane,
-                            z_halo_always=dyn_roll or not min_image)
+                            z_halo_always=dyn_roll or not min_image,
+                            max_lane=None if interpret
+                            else _MAX_L_LANE[rng_mode])
     if nz % zc:
         raise ValueError(f"z_chunks={zc} must divide ncz={nz}")
     nzc = nz // zc
@@ -614,21 +710,21 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
 
     view = prep(jnp.stack(chans))
 
-    dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
     scal = jnp.stack([
-        params.a[0, 0], params.gamma[0, 0],
-        params.sigma[0, 0] * dt_inv_sqrt, params.rc[0, 0],
+        a_t[0, 0], g_t[0, 0], s_t[0, 0], rc_t[0, 0],
         lens[0], lens[1], lens[2],
         1.0 / lens[0], 1.0 / lens[1], 1.0 / lens[2],
-        jnp.float32(1.0) if params.excl_w is None else params.excl_w,
-        1.0 / params.rc[0, 0]]).reshape(1, 12)
+        jnp.float32(1.0) if excl_w is None else excl_w,
+        1.0 / rc_t[0, 0]]
+        + [jnp.asarray(sv, jnp.float32) for sv in scal_tail]
+    ).reshape(1, 12 + len(scal_tail))
     iscal = jnp.stack([jnp.asarray(step, jnp.int32),
-                       params.seed.astype(jnp.int32)]).reshape(1, 2)
+                       jnp.asarray(seed).astype(jnp.int32)]).reshape(1, 2)
     if n_types > 1:
-        tab = jnp.stack([params.a.reshape(-1), params.gamma.reshape(-1),
-                         params.sigma.reshape(-1) * dt_inv_sqrt,
-                         (params.rc * params.rc).reshape(-1),
-                         (1.0 / params.rc).reshape(-1)])
+        tab = jnp.stack([a_t.reshape(-1), g_t.reshape(-1),
+                         s_t.reshape(-1),
+                         (rc_t * rc_t).reshape(-1),
+                         (1.0 / rc_t).reshape(-1)])
     else:
         tab = jnp.zeros((5, 1), jnp.float32)
 
@@ -661,8 +757,9 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
             index_map=lambda cy, cb: (0, cy + dy, cb, 0, 0),
             memory_space=pltpu.VMEM)
 
+    n_out = 4 + n_extra
     in_specs = [
-        pl.BlockSpec((1, 12), lambda cy, cb: (0, 0),
+        pl.BlockSpec((1, 12 + len(scal_tail)), lambda cy, cb: (0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 2), lambda cy, cb: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec(tab.shape, lambda cy, cb: (0, 0),
@@ -680,14 +777,15 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
                 n_types=n_types, typ_chan=typ_chan, tag_chan=tag_chan,
                 n_excl=n_excl, ex_chan=ex_chan, s_exp=s_exp, xr=xr,
                 dyn_roll=dyn_roll, nx=nx, nzc=nzc, zc=zc, z_halo=z_halo,
-                debug_pairs=debug_pairs, min_image=min_image),
+                debug_pairs=debug_pairs, min_image=min_image,
+                model=model, ns=ns, mc_chan=mc_chan),
         grid=(ny, zc),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (4, 2, 1, 1, kp, l_lane),
+            (n_out, 2, 1, 1, kp, l_lane),
             index_map=lambda cy, cb: (0, 0, cy, cb, 0, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, 2, ny, zc, kp, l_lane),
+        out_shape=jax.ShapeDtypeStruct((n_out, 2, ny, zc, kp, l_lane),
                                        jnp.float32),
         interpret=interpret,
     )(scal, iscal, tab, jm, offs, view, view)
@@ -695,7 +793,7 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
     # epilogue: combine the reaction plane (targets row cy+1) into its row,
     # then harvest reactions that landed on pad lanes onto the real twins
     combined = out[:, 0] + jnp.roll(out[:, 1], 1, axis=1)
-    arr = combined[..., :l_log].reshape(4, ny, zc, kp, body_z, w_lane)
+    arr = combined[..., :l_log].reshape(n_out, ny, zc, kp, body_z, w_lane)
     core = arr[..., xr:xr + nx]
     # x wrap pads: left pads are twins of the LAST xr columns, right pads
     # of the first xr (any dead w_pad lanes beyond nx+2*xr carry zeros)
@@ -709,9 +807,93 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
         zcore = zcore.at[:, :, :, :, 0, :].add(
             jnp.roll(core[:, :, :, :, -1, :], 1, axis=2))
         core = zcore
-    # (4, ny, zc, kp, nzc, nx) -> (4, ny, nz, kp, nx) -> drop pad slots
-    out4 = core.transpose(0, 1, 2, 4, 3, 5).reshape(4, ny, nz, kp, nx)
-    out4 = out4[:, :, :, :k]
-    f = jnp.stack([out4[0].reshape(nr), out4[1].reshape(nr),
-                   out4[2].reshape(nr)], axis=-1)
-    return f, jnp.sum(out4[3])
+    # (n_out, ny, zc, kp, nzc, nx) -> (n_out, ny, nz, kp, nx) -> drop pads
+    outp = core.transpose(0, 1, 2, 4, 3, 5).reshape(n_out, ny, nz, kp, nx)
+    outp = outp[:, :, :, :k]
+    f = jnp.stack([outp[0].reshape(nr), outp[1].reshape(nr),
+                   outp[2].reshape(nr)], axis=-1)
+    extra_outs = tuple(outp[4 + i].reshape(nr) for i in range(n_extra))
+    return f, jnp.sum(outp[3]), extra_outs
+
+
+@partial(jax.jit, static_argnames=("dt", "cfg", "rng_mode", "rng_rounds",
+                                   "interpret", "s_exp", "z_chunks",
+                                   "dyn_roll", "debug_pairs", "lane_pad",
+                                   "w_pad"))
+def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
+                            mask: Array, box: Box, step: Array,
+                            params: DPDParams, dt: float, cfg: CellConfig,
+                            rng_mode: str = "fast", rng_rounds: int = 8,
+                            interpret: bool | None = None,
+                            s_exp: float = 1.0, z_chunks: int = 0,
+                            dyn_roll: bool = False,
+                            debug_pairs: bool = False, lane_pad: int = 0,
+                            w_pad: int = 0):
+    """Classic-DPD forces via the Newton fused-lane kernel.
+
+    Interface matches ``bucket_forces_pallas_fused`` (its bit-reference up
+    to fp addition order). Returns (f (nr, 3), virial).
+    """
+    dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
+    f, vir, _ = _v3_forces(
+        x, v, typ, tag, mask, box, step,
+        (params.a, params.gamma, params.sigma * dt_inv_sqrt, params.rc),
+        params.seed, dt, cfg, rng_mode, rng_rounds, interpret, s_exp,
+        z_chunks, dyn_roll, debug_pairs, lane_pad, w_pad,
+        excl=params.excl, excl_w=params.excl_w)
+    return f, vir
+
+
+@partial(jax.jit, static_argnames=("dt", "cfg", "rng_mode", "rng_rounds",
+                                   "interpret", "z_chunks", "lane_pad",
+                                   "w_pad"))
+def bucket_forces_pallas_v3_edpd(x: Array, v: Array, t: Array, typ: Array,
+                                 tag: Array, mask: Array, box: Box,
+                                 step: Array, params, dt: float,
+                                 cfg: CellConfig, rng_mode: str = "fast",
+                                 rng_rounds: int = 8,
+                                 interpret: bool | None = None,
+                                 z_chunks: int = 0, lane_pad: int = 0,
+                                 w_pad: int = 0):
+    """eDPD forces + heat via the Newton kernel (SURVEY rows 22/A.2, r4
+    port of the v2 ``bucket_forces_pallas_edpd_fused`` — same math, half
+    the candidates). Returns (f, dTdt, virial)."""
+    dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
+    f, vir, (q,) = _v3_forces(
+        x, v, typ, tag, mask, box, step,
+        (params.a, params.gamma, params.kappa, params.rc),
+        params.seed, dt, cfg, rng_mode, rng_rounds, interpret, 1.0,
+        z_chunks, False, False, lane_pad, w_pad,
+        model="edpd", extras=(t,),
+        scal_tail=(dt_inv_sqrt, 1.0 / params.mass))
+    return f, q / params.cv, vir
+
+
+@partial(jax.jit, static_argnames=("dt", "cfg", "rng_mode", "rng_rounds",
+                                   "interpret", "z_chunks", "lane_pad",
+                                   "w_pad"))
+def bucket_forces_pallas_v3_tdpd(x: Array, v: Array, c: Array, typ: Array,
+                                 tag: Array, mask: Array, box: Box,
+                                 step: Array, params, dt: float,
+                                 cfg: CellConfig, rng_mode: str = "fast",
+                                 rng_rounds: int = 8,
+                                 interpret: bool | None = None,
+                                 z_chunks: int = 0, lane_pad: int = 0,
+                                 w_pad: int = 0):
+    """tDPD forces + per-species fluxes via the Newton kernel (SURVEY rows
+    23/A.3, r4 port of ``bucket_forces_pallas_tdpd_fused``).
+    Returns (f, dCdt (nr, S), virial)."""
+    dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
+    ns = params.n_species
+    tail = [dt_inv_sqrt, params.rcc, params.s1]
+    for sp in range(ns):
+        tail += [params.kappa_c[sp], params.eps_c[sp]]
+    f, vir, extra = _v3_forces(
+        x, v, typ, tag, mask, box, step,
+        (params.a, params.gamma, params.sigma * dt_inv_sqrt, params.rc),
+        params.seed, dt, cfg, rng_mode, rng_rounds, interpret, 1.0,
+        z_chunks, False, False, lane_pad, w_pad,
+        model="tdpd", extras=tuple(c[:, sp] for sp in range(ns)),
+        scal_tail=tuple(tail))
+    dcdt = jnp.stack(extra, axis=-1)
+    return f, dcdt, vir

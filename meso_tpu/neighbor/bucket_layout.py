@@ -242,14 +242,14 @@ def _rebuild_buckets_gather(state: State, cfg: CellConfig) -> tuple[State,
     cxs = key_s - base * nx
 
     if cfg.spill:
-        # Right-spill assignment (segmented prefix max — one
-        # associative_scan, no extra sorts); see ``spill_assign``.
-        # wrap_at_rebuild: no wrap relief (a wrap-spilled row would sit in
-        # column 0 carrying an x ~ L coordinate, which the no-min-image
-        # kernel cannot re-image)
+        # Right-spill assignment (see ``spill_assign``); wrap relief is
+        # always on — under wrap_at_rebuild the relieved rows get
+        # pre-shifted one image left below (same convention as the sort
+        # engine).
         target, fits, overflow = spill_assign(
-            base, cxs, valid_s, n_in, nx, k, ny * nz,
-            wrap=not cfg.wrap_at_rebuild)
+            base, cxs, valid_s, n_in, nx, k, ny * nz, wrap=True)
+        if cfg.wrap_at_rebuild:
+            wrapped_s = fits & (cxs == nx - 1) & (target % nx == 0)
     else:
         # rank within cell (strict buckets)
         n_cells = nx * ny * nz
@@ -274,6 +274,15 @@ def _rebuild_buckets_gather(state: State, cfg: CellConfig) -> tuple[State,
     out = jnp.take(packed, src, axis=0)
     out = jnp.where((idx_map >= 0)[:, None], out, 0.0)
     new = _unpack_rows(out, layout, state)
+    if cfg.spill and cfg.wrap_at_rebuild:
+        # pre-shift the wrap-relief rows one image left (see the sort
+        # engine); flags travel sorted->slot space via one small scatter
+        wslot = jnp.zeros((nr,), bool).at[target].set(
+            wrapped_s, mode="drop", unique_indices=True)
+        lx = state.box.lengths[0]
+        new = new.replace(
+            x=new.x.at[:, 0].add(jnp.where(wslot, -lx, 0.0)),
+            image=new.image.at[:, 0].add(wslot.astype(jnp.int32)))
     return new, overflow
 
 
@@ -370,8 +379,22 @@ def rebuild_buckets_sort(state: State, cfg: CellConfig) -> tuple[State,
 
     if cfg.spill:
         target, fits, overflow = spill_assign(
-            base, cxs, valid_s, n_in, nx, k, ny * nz,
-            wrap=not cfg.wrap_at_rebuild)
+            base, cxs, valid_s, n_in, nx, k, ny * nz, wrap=True)
+        if cfg.wrap_at_rebuild:
+            # deferred-wrap mode (VERDICT r4 item 8): wrap-relief rows sit
+            # in cell 0's block carrying x ~ lo + Lx, which the
+            # no-min-image kernel cannot re-image. Pre-shift them one box
+            # image left (exactly the pre-shifted-twin convention of the
+            # kernel's x wrap pads) and record it in the image flag so the
+            # unwrapped trajectory x + image*L is invariant. This restores
+            # wrap relief at every box size (the r3 of=42 blocker at 1M
+            # was relief being disabled here).
+            wrapped = fits & (cxs == nx - 1) & (target % nx == 0)
+            xo = layout["x"][0]
+            io = layout["image"][0]
+            lx = state.box.lengths[0].astype(cols[xo].dtype)
+            cols[xo] = jnp.where(wrapped, cols[xo] - lx, cols[xo])
+            cols[io] = jnp.where(wrapped, cols[io] + 1, cols[io])
     else:
         # strict rank-in-cell from the same plain-cummax segment trick
         rank = jnp.arange(n_in, dtype=jnp.int32) - _seg_starts(key_s)

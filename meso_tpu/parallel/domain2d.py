@@ -69,12 +69,14 @@ def build_domain2d(system: System, nx_dev: int, ny_dev: int, lx: float,
     ncx_l, ncy_l = ncx // nx_dev, ncy // ny_dev
     if ncx_l < 3 or ncy_l < 3:
         raise ValueError("bricks need >= 3 cell columns per device per axis")
-    if bool(getattr(g, "spill", False)):
-        raise NotImplementedError(
-            "spill layout is supported under 1-D DD only (2-column x halos);\n"
-            "build the system with spill=False for 2-D/3-D bricks")
+    spill = bool(getattr(g, "spill", False))
+    if spill and ncx_l < 5:
+        # same bound as 1-D DD: 2-column halos + a >=1-column interior
+        raise ValueError("spill layout under DD needs >= 5 local cell "
+                         "columns per brick along x")
     local = CellConfig(ncell=(ncx_l, ncy_l, ncz), capacity=g.capacity,
-                       skin=g.skin, rebuild_every=g.rebuild_every)
+                       skin=g.skin, rebuild_every=g.rebuild_every,
+                       spill=spill)
     if cap_mig is None:
         cap_mig = max(64, (ncy_l * ncz * g.capacity) // 4)
     return Domain2D(nx_dev=nx_dev, ny_dev=ny_dev, cells=local, lx=lx, ly=ly,
@@ -106,19 +108,29 @@ def _rebuild_brick(state: State, cfg: CellConfig, ox: Array, oy: Array,
     key = jnp.where(state.mask, key, nx * ny * nz)
     order = jnp.argsort(key, stable=True)
     key_s = key[order]
-    n_cells = nx * ny * nz
-    starts = jnp.searchsorted(
-        key_s, jnp.arange(n_cells + 1, dtype=key_s.dtype), side="left")
-    rank = jnp.arange(n_in, dtype=jnp.int32) - starts[
-        jnp.minimum(key_s, n_cells)].astype(jnp.int32)
     valid_s = state.mask[order]
-    fits = valid_s & (rank < k)
-    overflow = jnp.sum(valid_s & (rank >= k))
     base = key_s // nx
     cxs = key_s - base * nx
-    target = (base * k + jnp.minimum(rank, k - 1)) * nx + cxs
-    # distinct OOB targets for dropped rows -> honest unique-indices scatter
-    target = jnp.where(fits, target, nr + jnp.arange(n_in, dtype=jnp.int32))
+    if cfg.spill:
+        # in-brick right-spill, no wrap relief — same variant as the 1-D
+        # slab path (VERDICT r4 item 7; the kernel reads it via 2-column
+        # x halos)
+        from meso_tpu.neighbor.bucket_layout import spill_assign
+        target, fits, overflow = spill_assign(
+            base, cxs, valid_s, n_in, nx, k, ny * nz, wrap=False)
+    else:
+        n_cells = nx * ny * nz
+        starts = jnp.searchsorted(
+            key_s, jnp.arange(n_cells + 1, dtype=key_s.dtype), side="left")
+        rank = jnp.arange(n_in, dtype=jnp.int32) - starts[
+            jnp.minimum(key_s, n_cells)].astype(jnp.int32)
+        fits = valid_s & (rank < k)
+        overflow = jnp.sum(valid_s & (rank >= k))
+        target = (base * k + jnp.minimum(rank, k - 1)) * nx + cxs
+        # distinct OOB targets for dropped rows -> honest unique-indices
+        # scatter
+        target = jnp.where(fits, target,
+                           nr + jnp.arange(n_in, dtype=jnp.int32))
 
     from meso_tpu.neighbor.bucket_layout import _pack_rows, _unpack_rows
     # index-map + one wide gather (see bucket_layout.rebuild_buckets)
@@ -176,8 +188,12 @@ def _migrate_axis(state: State, axis_name: str, n_dev: int, coord: Array,
 def _exchange_halos_channels(channels: dict, dcfg: Domain2D):
     """Per-channel brick halo exchange: x first (full local extent), then
     y over the x-extended planes — corner ghosts ride the second exchange
-    for free. Wrap links carry pre-shifted coordinates."""
+    for free. Wrap links carry pre-shifted coordinates. Under the
+    right-spill layout x ships TWO block-columns per side (a cell's
+    particles may sit in the next cell's block); y rows carry their
+    spilled occupants inherently."""
     nxd, nyd = dcfg.nx_dev, dcfg.ny_dev
+    xr = 2 if dcfg.cells.spill else 1
     fwd_x = [(i, (i + 1) % nxd) for i in range(nxd)]
     bwd_x = [(i, (i - 1) % nxd) for i in range(nxd)]
     fwd_y = [(i, (i + 1) % nyd) for i in range(nyd)]
@@ -188,8 +204,8 @@ def _exchange_halos_channels(channels: dict, dcfg: Domain2D):
     ly = jnp.float32(dcfg.ly)
     out = {}
     for name, p in channels.items():
-        hl = jax.lax.ppermute(p[..., -1:], AX, fwd_x)
-        hr = jax.lax.ppermute(p[..., :1], AX, bwd_x)
+        hl = jax.lax.ppermute(p[..., -xr:], AX, fwd_x)
+        hr = jax.lax.ppermute(p[..., :xr], AX, bwd_x)
         if name == "x":
             hl = hl + jnp.where(me_x == 0, -lx, 0.0)
             hr = hr + jnp.where(me_x == nxd - 1, lx, 0.0)
@@ -255,6 +271,10 @@ def _halo_forces_2d(state: State, system: System, params: SystemParams,
             rng_rounds=system.rng_rounds, s_exp=system.s_exp,
             n_types=params.pair.a.shape[0], vma=(AX, AY))
         return f, {"virial": virial}
+    if cfg.spill:
+        raise ValueError("the distributed sweep cannot read a spill "
+                         "layout — 2-D bricks support spill on the classic "
+                         "fused-kernel path (force_path='pallas') only")
     padded = _exchange_halos_channels(channels, dcfg)
     acc = sweep(padded, cfg.ncell, k, (True, False, True),
                 state.box.lengths, pair_fn, n_out)

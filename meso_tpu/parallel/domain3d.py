@@ -76,12 +76,14 @@ def build_domain3d(system: System, nx_dev: int, ny_dev: int, nz_dev: int,
     ncx_l, ncy_l, ncz_l = ncx // nx_dev, ncy // ny_dev, ncz // nz_dev
     if min(ncx_l, ncy_l, ncz_l) < 3:
         raise ValueError("bricks need >= 3 cell columns per device per axis")
-    if bool(getattr(g, "spill", False)):
-        raise NotImplementedError(
-            "spill layout is supported under 1-D DD only (2-column x halos);\n"
-            "build the system with spill=False for 2-D/3-D bricks")
+    spill = bool(getattr(g, "spill", False))
+    if spill and ncx_l < 5:
+        # same bound as 1-D DD: 2-column halos + a >=1-column interior
+        raise ValueError("spill layout under DD needs >= 5 local cell "
+                         "columns per brick along x")
     local = CellConfig(ncell=(ncx_l, ncy_l, ncz_l), capacity=g.capacity,
-                       skin=g.skin, rebuild_every=g.rebuild_every)
+                       skin=g.skin, rebuild_every=g.rebuild_every,
+                       spill=spill)
     if cap_mig is None:
         face = max(ncy_l * ncz_l, ncx_l * ncz_l, ncx_l * ncy_l)
         cap_mig = max(64, (face * g.capacity) // 4)
@@ -114,19 +116,27 @@ def _rebuild_brick3d(state: State, cfg: CellConfig, ox: Array, oy: Array,
     key = jnp.where(state.mask, key, nx * ny * nz)
     order = jnp.argsort(key, stable=True)
     key_s = key[order]
-    n_cells = nx * ny * nz
-    starts = jnp.searchsorted(
-        key_s, jnp.arange(n_cells + 1, dtype=key_s.dtype), side="left")
-    rank = jnp.arange(n_in, dtype=jnp.int32) - starts[
-        jnp.minimum(key_s, n_cells)].astype(jnp.int32)
     valid_s = state.mask[order]
-    fits = valid_s & (rank < k)
-    overflow = jnp.sum(valid_s & (rank >= k))
     base = key_s // nx
     cxs = key_s - base * nx
-    target = (base * k + jnp.minimum(rank, k - 1)) * nx + cxs
-    # distinct OOB targets for dropped rows -> honest unique-indices scatter
-    target = jnp.where(fits, target, nr + jnp.arange(n_in, dtype=jnp.int32))
+    if cfg.spill:
+        # in-brick right-spill, no wrap relief (VERDICT r4 item 7)
+        from meso_tpu.neighbor.bucket_layout import spill_assign
+        target, fits, overflow = spill_assign(
+            base, cxs, valid_s, n_in, nx, k, ny * nz, wrap=False)
+    else:
+        n_cells = nx * ny * nz
+        starts = jnp.searchsorted(
+            key_s, jnp.arange(n_cells + 1, dtype=key_s.dtype), side="left")
+        rank = jnp.arange(n_in, dtype=jnp.int32) - starts[
+            jnp.minimum(key_s, n_cells)].astype(jnp.int32)
+        fits = valid_s & (rank < k)
+        overflow = jnp.sum(valid_s & (rank >= k))
+        target = (base * k + jnp.minimum(rank, k - 1)) * nx + cxs
+        # distinct OOB targets for dropped rows -> honest unique-indices
+        # scatter
+        target = jnp.where(fits, target,
+                           nr + jnp.arange(n_in, dtype=jnp.int32))
 
     from meso_tpu.neighbor.bucket_layout import _pack_rows, _unpack_rows
     # index-map + one wide gather (see bucket_layout.rebuild_buckets)
@@ -160,12 +170,17 @@ def _exchange_halos_3d(channels: dict, dcfg: Domain3D):
     span = {AX: jnp.float32(dcfg.lx), AY: jnp.float32(dcfg.ly),
             AZ: jnp.float32(dcfg.lz)}
 
-    def exchange(p, ax, axis, shift_wrap):
+    # right-spill: x ships TWO block-columns per side (a cell's particles
+    # may sit in the next cell's block); y/z planes carry their rows'
+    # spilled occupants inherently
+    xr = 2 if dcfg.cells.spill else 1
+
+    def exchange(p, ax, axis, shift_wrap, width=1):
         lo = jax.lax.ppermute(
-            jax.lax.slice_in_dim(p, p.shape[axis] - 1, p.shape[axis],
+            jax.lax.slice_in_dim(p, p.shape[axis] - width, p.shape[axis],
                                  axis=axis), ax, fwd[ax])
         hi = jax.lax.ppermute(
-            jax.lax.slice_in_dim(p, 0, 1, axis=axis), ax, bwd[ax])
+            jax.lax.slice_in_dim(p, 0, width, axis=axis), ax, bwd[ax])
         if shift_wrap:
             lo = lo + jnp.where(me[ax] == 0, -span[ax], 0.0)
             hi = hi + jnp.where(me[ax] == ndev[ax] - 1, span[ax], 0.0)
@@ -173,7 +188,7 @@ def _exchange_halos_3d(channels: dict, dcfg: Domain3D):
 
     out = {}
     for name, p in channels.items():
-        p = exchange(p, AX, 3, name == "x")
+        p = exchange(p, AX, 3, name == "x", width=xr)
         p = exchange(p, AY, 0, name == "y")
         p = exchange(p, AZ, 1, name == "z")
         out[name] = p
@@ -232,6 +247,10 @@ def _halo_forces_3d(state: State, system: System, params: SystemParams,
             rng_rounds=system.rng_rounds, s_exp=system.s_exp,
             n_types=params.pair.a.shape[0], vma=(AX, AY, AZ))
         return f, {"virial": virial}
+    if cfg.spill:
+        raise ValueError("the distributed sweep cannot read a spill "
+                         "layout — 3-D bricks support spill on the classic "
+                         "fused-kernel path (force_path='pallas') only")
     padded = _exchange_halos_3d(channels, dcfg)
     acc = sweep(padded, cfg.ncell, k, (True, True, True),
                 state.box.lengths, pair_fn, n_out)

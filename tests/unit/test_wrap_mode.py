@@ -76,7 +76,11 @@ def test_rebuild_wraps_and_updates_images():
     assert int(of) == 0
     m = np.asarray(new.mask)
     x = np.asarray(new.x)[m]
-    assert (x >= 0).all() and (x < 8.0).all()
+    # wrap-relief rows are pre-shifted ONE image left along x (r4: the
+    # no-min-image kernel reads them as cell-0 pre-shifted twins); every
+    # other coordinate is strictly in box
+    assert (x[:, 0] >= -8.0).all() and (x[:, 0] < 8.0).all()
+    assert (x[:, 1:] >= 0).all() and (x[:, 1:] < 8.0).all()
     # unwrapped positions (x + image L) are preserved exactly per particle
     new_unwrapped = np.asarray(new.x + new.image * box.lengths)
     tag_to_old = {int(t): unwrapped[i]
@@ -86,6 +90,57 @@ def test_rebuild_wraps_and_updates_images():
     for i in np.flatnonzero(m)[:200]:
         np.testing.assert_allclose(new_unwrapped[i], tag_to_old[int(tags_new[i])],
                                    rtol=0, atol=1e-5)
+
+
+def test_wrap_relief_preshift_under_deferred_wrap():
+    """Deferred-wrap spill keeps wrap relief (VERDICT r4 item 8): slam the
+    LAST x-column so its overflow must wrap into cell 0's top slots; the
+    rebuild must (a) not overflow, (b) pre-shift those rows one image left
+    with the image flag compensating, and (c) keep the no-min-image v3
+    kernel exact vs the dense oracle on the resulting layout."""
+    import dataclasses
+    l, n = 8.0, 1536
+    box = Box.cubic(l)
+    st = create_random(jax.random.PRNGKey(11), n, box, kt=1.0)
+    cfg = CellConfig.for_box([l] * 3, rc=1.0, density=n / l ** 3, skin=0.3,
+                             spill=True, wrap_at_rebuild=True)
+    nx, ncy, ncz = cfg.ncell
+    k = cfg.capacity
+    # deterministic relief: evacuate the (cy=0, cz=0) row, then pile
+    # K + 6 particles into its LAST x-cell — 6 must wrap into cell 0's
+    # (now empty) top slots, and of stays 0
+    x = np.array(st.x)
+    side_y, side_z = l / ncy, l / ncz
+    in_row = (x[:, 1] < side_y) & (x[:, 2] < side_z)
+    # spread evacuees across the other rows (not into one hot row)
+    x[in_row, 1] = side_y + (x[in_row, 0] / l) * (l - 1.5 * side_y)
+    n_pile = k + 6
+    band_lo = l * (nx - 1) / nx
+    x[:n_pile, 0] = band_lo + (l / nx) * np.linspace(0.05, 0.95, n_pile)
+    x[:n_pile, 1] = 0.4 * side_y
+    x[:n_pile, 2] = 0.4 * side_z
+    st = st.replace(x=jnp.asarray(x))
+    bst, of = jax.jit(rebuild_buckets, static_argnames="cfg")(
+        to_bucket_state(st, dataclasses.replace(cfg,
+                                                wrap_at_rebuild=False)),
+        cfg)
+    assert int(of) == 0
+    m = np.asarray(bst.mask)
+    xs = np.asarray(bst.x)[m]
+    relieved = xs[:, 0] < 0
+    assert relieved.any(), "case failed to trigger wrap relief"
+    # unwrapped invariant: x + image*L stays in [0 - skin, L + skin)
+    unw = xs[:, 0] + np.asarray(bst.image)[m][:, 0] * l
+    assert (unw[relieved] >= band_lo).all() and (unw[relieved] < l).all()
+    step = jnp.int32(9)
+    f_p, vir_p = bucket_forces_pallas_v3(
+        bst.x, bst.v, bst.typ, bst.tag, bst.mask, box, step, PARAMS, 0.01,
+        cfg, rng_mode="fast", interpret=True)
+    f_d, vir_d, _ = dense_forces(bst.x, bst.v, bst.typ, bst.tag, bst.mask,
+                                 box, step, PARAMS, 0.01, rng_mode="fast")
+    fp, fd = np.asarray(f_p), np.asarray(f_d)
+    rel = np.abs(fp[m] - fd[m]).max() / np.abs(fd).max()
+    assert rel < 5e-5, rel
 
 
 def test_wrap_mode_rebuild_full_loop_physics():

@@ -28,9 +28,12 @@ def main():
 
     print(jax.devices(), flush=True)
     t0 = time.time()
-    system, params, state = classic_fluid(l=l, rng_mode="fast", skin=skin,
-                                          rebuild_every=every,
-                                          force_path=path)
+    system, params, state = classic_fluid(
+        l=l, rng_mode=os.environ.get("MESO_BENCH_RNG", "fast"), skin=skin,
+        rebuild_every=every, force_path=path,
+        pair_kernel=os.environ.get("MESO_BENCH_KERNEL", "v2"),
+        rebuild=os.environ.get("MESO_BENCH_REBUILD_ENGINE", "gather"),
+        z_chunks=int(os.environ.get("MESO_BENCH_ZCHUNKS", "0")))
     if os.environ.get("MESO_BENCH_BF16") == "1":
         system = system.replace(bf16_v=True)
         print("bf16_v on", flush=True)
@@ -39,13 +42,16 @@ def main():
           f"cfg={system.cells}", flush=True)
 
     t0 = time.time()
-    state, _ = run_bucket_chunked(system, params, state, 1, every)
+    tt = os.environ.get("MESO_BENCH_TRACE", "0") == "1"
+    state, _ = run_bucket_chunked(system, params, state, 1, every,
+                                  thermo_trace=tt)
     jax.block_until_ready(state.x)
     print(f"compile+1 chunk: {time.time()-t0:.1f}s", flush=True)
 
     nchunks = max(steps // every, 1)
     t0 = time.perf_counter()
-    state, diag = run_bucket_chunked(system, params, state, nchunks, every)
+    state, diag = run_bucket_chunked(system, params, state, nchunks,
+                                     every, thermo_trace=tt)
     jax.block_until_ready(state.x)
     dt = (time.perf_counter() - t0) / (nchunks * every)
     kt = float(kinetic_temperature(state.v, params.mass[state.typ],
