@@ -274,10 +274,10 @@ def main():
     print(f"census: pair_rows calls={pr_calls:.0f} lane area={kp}x{l_lane} "
           f"candidates/step={cands:.3e} per-particle={cands/n:.0f}",
           flush=True)
-    occup = vmask.sum() / (ny * nz * k)
+    occup = vmask.sum() / (nx * ny * nz)
     g1_skip = float((jm_mid <= 8).mean())
-    print(f"occupancy={occup*k:.2f}/{k}  rows with group-1 skipped: "
-          f"{g1_skip*100:.0f}%", flush=True)
+    print(f"occupancy={occup:.2f}/{k} per cell  (row, chunk)s with groups"
+          f" beyond 8 skipped: {g1_skip*100:.0f}%", flush=True)
     # static op count per candidate (pair_rows fast/min_image/s=1): see
     # PERF_NOTES r5; ~64 VPU ops counting where/cmp/and as 1 each
     OPS = 64
