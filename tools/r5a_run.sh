@@ -15,7 +15,7 @@ wait_device() {
   local t0=$(date +%s)
   while ! probe; do
     local dt=$(( $(date +%s) - t0 ))
-    if [ $dt -gt 3600 ]; then
+    if [ $dt -gt 5400 ]; then
       echo "[r5a] worker down ${dt}s — giving up on wait" >&2
       return 1
     fi
@@ -34,10 +34,10 @@ stage() {
   tail -3 "/tmp/r5a_$name.log"
 }
 
-stage stage 2400
-stage wrap 1800
-stage tune 4800
-stage tea 2400
-stage transport 2400
-stage bf16 1800
+stage stage 5400
+stage wrap 3600
+stage tune 7200
+stage tea 3600
+stage transport 3600
+stage bf16 2400
 echo "[r5a] ALL DONE $(date -u +%H:%M:%S)"
