@@ -77,9 +77,11 @@ class System:
     #                               no transcendentals); must match params
     z_chunks: int = 0             # fused-kernel z-chunk split (0 = auto
     #                               from the VMEM budget; autotunable)
-    pair_kernel: str = "v2"       # classic-DPD pallas kernel generation:
-    #                               "v2" (r2 fused-lane) | "v3" (Newton
-    #                               fused-lane, VERDICT r3 item 1) |
+    pair_kernel: str = "v3"       # classic-DPD pallas kernel generation:
+    #                               "v3" (Newton fused-lane — DEFAULT since
+    #                               r5: passes every device gate incl.
+    #                               transport, ~2x v2; VERDICT r4 item 6) |
+    #                               "v2" (r2 fused-lane, escape hatch) |
     #                               "v3_dynroll" (v3 with traced-offset
     #                               rolls; device support probed by
     #                               tools/toy_dynroll.py)

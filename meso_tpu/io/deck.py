@@ -176,7 +176,7 @@ def build_from_deck(deck: dict):
         return sys_.replace(
             lam=float(integ.get("lambda_", integ.get("lambda", 0.5))),
             force_path=force_path,
-            pair_kernel=str(engine.get("pair_kernel", "v2")),
+            pair_kernel=str(engine.get("pair_kernel", "v3")),
             z_chunks=int(engine.get("z_chunks", 0)))
 
     system = System.for_fluid(

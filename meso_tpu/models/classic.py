@@ -20,7 +20,7 @@ def classic_fluid(l: float = 32.0, density: float = 3.0, kt: float = 1.0,
                   dt: float = 0.01, seed: int = 928459, init_seed: int = 0,
                   skin: float = 0.3, rebuild_every: int = 10,
                   rng_mode: str = "tea", force_path: str = "nlist",
-                  spill: bool | None = None, pair_kernel: str = "v2",
+                  spill: bool | None = None, pair_kernel: str = "v3",
                   rebuild: str = "gather", capacity: int | None = None,
                   wrap_mode: str = "step", z_chunks: int = 0,
                   ) -> tuple[System, SystemParams, State]:
@@ -47,6 +47,5 @@ def classic_fluid(l: float = 32.0, density: float = 3.0, kt: float = 1.0,
                               wrap_mode=wrap_mode, z_chunks=z_chunks)
     if force_path != "nlist":
         system = system.replace(force_path=force_path)
-    if pair_kernel != "v2":
-        system = system.replace(pair_kernel=pair_kernel)
+    system = system.replace(pair_kernel=pair_kernel)
     return system, params, setup(system, params, state)
