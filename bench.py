@@ -34,7 +34,7 @@ def run_config(l, path, skin, every, nsteps, equil=399):
     from meso_tpu.obs import kinetic_temperature
 
     rng_mode = os.environ.get("MESO_BENCH_RNG", "fast")
-    kernel = os.environ.get("MESO_BENCH_KERNEL", "v2")
+    kernel = os.environ.get("MESO_BENCH_KERNEL", "v3")
     rengine = os.environ.get("MESO_BENCH_REBUILD_ENGINE", "gather")
     wrap_mode = os.environ.get("MESO_BENCH_WRAP", "step")
     zc = int(os.environ.get("MESO_BENCH_ZCHUNKS", "0"))
@@ -67,6 +67,27 @@ def run_config(l, path, skin, every, nsteps, equil=399):
     ps_per_s = n * steps / dt_wall
     kt = float(kinetic_temperature(
         state.v, params.mass[state.typ], state.mask))
+    # Averaged kT with error bars (CLAUDE.md physics rule / VERDICT r4
+    # item 8): a short traced run AFTER the timed window; quote
+    # mean +- sem with an autocorrelation-corrected n_eff.
+    kt_stats = {}
+    if fused:
+        import numpy as _np
+        state, d2 = run_bucket_chunked(system, params, state,
+                                       max(60 // every, 1), every,
+                                       thermo_trace=True)
+        kts = _np.asarray(d2["kt_trace"])
+        if kts.size > 4:
+            dk = kts - kts.mean()
+            acf1 = float((dk[:-1] * dk[1:]).mean() / max(dk.var(), 1e-30))
+            tau = (1 + acf1) / max(1 - acf1, 1e-3)
+            n_eff = max(kts.size / (2 * tau), 1.0)
+            sem = float(kts.std(ddof=1) / _np.sqrt(n_eff))
+            kt_stats = {"kT_mean": round(float(kts.mean()), 4),
+                        "kT_sem": round(sem, 4),
+                        "kT_3sig": round(3 * sem, 4),
+                        "kT_n_eff": round(n_eff, 1)}
+            kt = float(kts.mean())
     result = {
         "metric": "particle-steps/sec/chip (1M DPD fluid, rho=3)",
         "value": round(ps_per_s, 1),
@@ -91,6 +112,7 @@ def run_config(l, path, skin, every, nsteps, equil=399):
         "spill": bool(getattr(system.cells, "spill", False)),
         "ncell": list(system.cells.ncell),
     }
+    result.update(kt_stats)
     for key in ("bucket_overflow", "worst_skin_ratio", "cell_overflow",
                 "nlist_overflow", "n_rebuilds"):
         if key in diag:
@@ -182,7 +204,7 @@ def main():
                   "MESO_BENCH_REBUILD_ENGINE": "sort"}
         ladder = [
             (v3_cfg, 3000),
-            ({"MESO_BENCH_L": l}, 2400),
+            ({"MESO_BENCH_L": l, "MESO_BENCH_KERNEL": "v2"}, 2400),
             ({"MESO_BENCH_L": 32}, 1200),
         ]
     else:
