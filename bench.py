@@ -196,11 +196,13 @@ def main():
         # rung 1: the v3 Newton kernel production config (device-gated by
         # tools/v3_gate3.py + tools/v3_1m_probe.py); explicit z-chunks —
         # auto-zc picks a lane vector the toolchain fails to compile at
-        # L=70. rung 2: the r2-proven v2 config as the device fallback.
-        # wrap=step: the deferred-wrap mode needs spill wrap-relief off,
-        # which overflows K=16 at 1M (v3_1m probe: of=42)
+        # L=70. wrap=rebuild (deferred box wrap, min-image-free kernel):
+        # r5-validated at 1M (of=0, subset oracle 9.3e-7, 60.9 vs 67.5
+        # ms/step — tools/r5a_wrap.py). rung 2: the r2-proven v2 config
+        # as the device fallback.
         v3_cfg = {"MESO_BENCH_L": l, "MESO_BENCH_KERNEL": "v3",
                   "MESO_BENCH_ZCHUNKS": 5,
+                  "MESO_BENCH_WRAP": "rebuild",
                   "MESO_BENCH_REBUILD_ENGINE": "sort"}
         ladder = [
             (v3_cfg, 3000),

@@ -155,17 +155,13 @@ def build_from_deck(deck: dict):
     # right-spill packing: default on for the fused pallas kernel (every
     # rng tier — the r2 spill+tea miscompile is closed; tools/v2_gate.py)
     spill = bool(engine.get("spill", force_path == "pallas"))
+    # wrap_mode="rebuild" (deferred box wrap) is validated at every box
+    # size since r5: the r4 pre-shifted wrap-relief rows (bucket_layout
+    # spill_assign) keep of=0 at 1M on device, the min-image-free kernel
+    # program passes the 1M subset oracle (rel 9.3e-7), and the mode is
+    # ~10% faster (60.9 vs 67.5 ms/step; tools/r5a_wrap.py). The stale
+    # r3 of=42 warning (relief disabled back then) is gone.
     wrap_mode = str(engine.get("wrap_mode", "step"))
-    if wrap_mode == "rebuild" and spill:
-        # VERDICT r4 item 8: deferred wrap disables spill wrap relief —
-        # overflows K=16 at large boxes (of=42 at 1M; PERF_NOTES r3)
-        import warnings
-        warnings.warn(
-            "engine.wrap_mode='rebuild' with spill packing disables the "
-            "wrap-relief slots: at large boxes (ncx ~ 50, 1M particles) "
-            "this overflows capacity K=16 (PERF_NOTES r3 probe: of=42). "
-            "Deferred wrap is a small/medium-box optimization; the run "
-            "will abort loudly on bucket_overflow > 0.", stacklevel=2)
 
     def _engine_kw():
         return dict(
