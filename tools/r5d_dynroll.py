@@ -1,0 +1,133 @@
+"""r5 session D: dynroll z-chunking on the PRODUCTION (plane) kernel.
+
+Session B found (on the r5-dev ring variant) that dyn_roll's fori-loop
+offset body COMPILES at zc=2 (l_lane 1536) where the static unroll
+failed at zc=2 since r3 — and runs 18% faster standalone (54.9 vs 67.3
+ms: z-halo waste 1.2x -> 1.08x + 2.5x fewer grid steps). This probes the
+same on the shipped kernel, plus zc=1 (halo waste 1.04x, ~13 MB VMEM —
+may not fit), and times the production loop at the winning config with
+wrap=rebuild + the virial-free thermo-off path.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+print("dev:", jax.devices(), flush=True)
+
+from meso_tpu.core.system import run_bucket_chunked
+from meso_tpu.kernels.pair_dpd_v3 import bucket_forces_pallas_v3
+from meso_tpu.models.classic import classic_fluid
+from meso_tpu.obs import kinetic_temperature
+from meso_tpu.io.restart import load_restart
+from tools.subset_oracle import subset_check
+
+EQ_PATH = "/tmp/r5_eq1m.npz"
+
+
+def timeit(fn, reps=8):
+    out = fn()
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return min(ts) * 1e3
+
+
+def main():
+    system, params, state = classic_fluid(
+        l=70.0, rebuild_every=3, skin=0.4, rng_mode="fast",
+        force_path="pallas", pair_kernel="v3", rebuild="sort", z_chunks=5)
+    cfg = system.cells
+    if os.path.exists(EQ_PATH):
+        eq = load_restart(EQ_PATH)
+        state = state.replace(x=eq.x, v=eq.v, f=eq.f, typ=eq.typ,
+                              tag=eq.tag, mask=eq.mask, image=eq.image,
+                              step=eq.step)
+    n = int(state.n_valid())
+    step_c = jnp.int32(11)
+
+    def call(zc, dyn, nv=True):
+        f, _ = bucket_forces_pallas_v3(
+            state.x, state.v, state.typ, state.tag, state.mask, state.box,
+            step_c, params.pair, system.dt, cfg, rng_mode="fast",
+            z_chunks=zc, dyn_roll=dyn, need_virial=nv)
+        return f
+
+    # anchor + nv on the shipped kernel
+    try:
+        print(f"T_call(plane zc=5 static)     = {timeit(lambda: call(5, False)):.2f} ms",
+              flush=True)
+        print(f"T_call(plane zc=5 static, nv) = {timeit(lambda: call(5, False, nv=False)):.2f} ms",
+              flush=True)
+    except Exception as e:
+        print(f"anchor ERROR: {type(e).__name__}: {str(e)[:600]}", flush=True)
+
+    best = None
+    for zc in (2, 1):
+        try:
+            f = call(zc, True)
+            jax.block_until_ready(f)
+            ok, _ = subset_check(
+                state.x, state.v, state.tag, state.mask, state.box.lengths,
+                11, params.pair, system.dt, "fast", f, m=256,
+                label=f"plane dynroll zc={zc}")
+            if ok:
+                t = timeit(lambda: call(zc, True))
+                print(f"T_call(plane dynroll zc={zc})  = {t:.2f} ms",
+                      flush=True)
+                if best is None or t < best[1]:
+                    best = (zc, t)
+        except Exception as e:
+            print(f"DYNROLL zc={zc}: {type(e).__name__}: {str(e)[:600]}",
+                  flush=True)
+
+    if best is None:
+        print("no dynroll win on the plane kernel", flush=True)
+        return
+    zc = best[0]
+    # production loop: wrap=rebuild + dynroll zc + thermo off (nv path)
+    sy2, pa2, st2 = classic_fluid(
+        l=70.0, rebuild_every=3, skin=0.4, rng_mode="fast",
+        force_path="pallas", pair_kernel="v3_dynroll", rebuild="sort",
+        wrap_mode="rebuild", z_chunks=zc)
+    st2 = st2.replace(x=state.x, v=state.v, f=state.f, typ=state.typ,
+                      tag=state.tag, mask=state.mask, image=state.image,
+                      step=state.step)
+    st2, diag = run_bucket_chunked(sy2, pa2, st2, 10, 3, thermo_trace=False)
+    jax.block_until_ready(st2.x)
+    t0 = time.time()
+    st2, diag = run_bucket_chunked(sy2, pa2, st2, 20, 3, thermo_trace=False)
+    jax.block_until_ready(st2.x)
+    ms = (time.time() - t0) / 60 * 1e3
+    kt = float(kinetic_temperature(st2.v, pa2.mass[st2.typ], st2.mask))
+    of = float(np.asarray(diag["bucket_overflow"]))
+    sr = float(np.asarray(diag["worst_skin_ratio"]))
+    print(f"T_step(plane dynroll zc={zc}, wrap=rebuild, thermo off) = "
+          f"{ms:.1f} ms/step ({n/ms*1e3:.3e} ps/s) kT={kt:.4f} of={of:.0f} "
+          f"sr={sr:.3f}", flush=True)
+    # gate the evolved wrap=rebuild state program too
+    from meso_tpu.neighbor.bucket_layout import rebuild_buckets
+    st3, _ = rebuild_buckets(st2, sy2.cells)
+    f3, _ = bucket_forces_pallas_v3(
+        st3.x, st3.v, st3.typ, st3.tag, st3.mask, st3.box, step_c,
+        pa2.pair, sy2.dt, sy2.cells, rng_mode="fast", z_chunks=zc,
+        dyn_roll=True)
+    subset_check(
+        st3.x, st3.v, st3.tag, st3.mask, st3.box.lengths, 11, pa2.pair,
+        sy2.dt, "fast", f3, m=256,
+        label=f"plane dynroll zc={zc} wrap=rebuild")
+    print("R5D_DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
