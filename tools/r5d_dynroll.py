@@ -126,6 +126,34 @@ def main():
         st3.x, st3.v, st3.tag, st3.mask, st3.box.lengths, 11, pa2.pair,
         sy2.dt, "fast", f3, m=256,
         label=f"plane dynroll zc={zc} wrap=rebuild")
+
+    # config-3 datum the sessions still lack: edpd_slab on the SHIPPED
+    # v3 kernel at deck skin (the session-A run overflowed at skin 0.4;
+    # session-B's ring numbers are not the product)
+    try:
+        import dataclasses
+        from meso_tpu.models.transport import edpd_slab
+        sy_e, pa_e, st_e = edpd_slab(l=32.0, force_path="pallas", skin=0.3)
+        sy_e = sy_e.replace(
+            pair_kernel="v3",
+            cells=dataclasses.replace(sy_e.cells, rebuild_every=3,
+                                      rebuild="sort"))
+        ne = int(st_e.n_valid())
+        st_e, dg = run_bucket_chunked(sy_e, pa_e, st_e, 10, 3,
+                                      thermo_trace=False)
+        jax.block_until_ready(st_e.x)
+        t0 = time.time()
+        st_e, dg = run_bucket_chunked(sy_e, pa_e, st_e, 10, 3,
+                                      thermo_trace=False)
+        jax.block_until_ready(st_e.x)
+        mse = (time.time() - t0) / 30 * 1e3
+        print(f"TRANSPORT edpd_slab plane-v3: n={ne} {mse:.2f} ms/step "
+              f"({ne/mse*1e3:.3e} ps/s) "
+              f"of={float(np.asarray(dg['bucket_overflow'])):.0f}",
+              flush=True)
+    except Exception as e:
+        print(f"edpd plane ERROR: {type(e).__name__}: {str(e)[:500]}",
+              flush=True)
     print("R5D_DONE", flush=True)
 
 
