@@ -157,7 +157,7 @@ def _per_type(table: Array, typ: Array) -> Array:
 
 def compute_forces(system: System, params: SystemParams, state: State,
                    x: Array, v: Array, step: Array, nlist_idx=None,
-                   t=None, c=None):
+                   t=None, c=None, need_virial: bool = True):
     """Dispatch to the configured model + force path. Returns (f, aux dict);
     aux carries 'virial' and, per model, 'dTdt' / 'dCdt'."""
     # r2's spill+tea guard is GONE: the miscompile family was root-caused
@@ -259,7 +259,8 @@ def compute_forces(system: System, params: SystemParams, state: State,
                 params.pair, system.dt, system.cells,
                 rng_mode=system.rng_mode, rng_rounds=system.rng_rounds,
                 s_exp=system.s_exp, z_chunks=system.z_chunks,
-                dyn_roll=system.pair_kernel == "v3_dynroll")
+                dyn_roll=system.pair_kernel == "v3_dynroll",
+                need_virial=need_virial)
             return f, {"virial": virial}
         # strict (non-spill) layouts run the fused kernel directly again:
         # the r2 strict-small-shape miscompile was the bitcast-channel root
@@ -341,9 +342,12 @@ def make_step(system: System, with_aux: bool = False):
                     system, params, state, x1, image1, v_tilde)
 
         # --- force evaluation at (x', v~), RNG counter = new step ---
+        # thermo-off steps (with_aux=False) skip the virial channel in
+        # the v3 kernel (the value would be discarded)
         f_new, aux = compute_forces(system, params, state, x1, v_tilde,
                                     new_step, nlist_idx,
-                                    t=state.T, c=state.C)
+                                    t=state.T, c=state.C,
+                                    need_virial=with_aux)
 
         # --- bonded terms + post_force fixes ---
         f_new = _post_forces(system, params, state, x1, v_tilde, f_new,

@@ -77,7 +77,8 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
                tag_chan: int, n_excl: int, ex_chan: int, s_exp: float,
                xr: int, dyn_roll: bool, nx: int, nzc: int, zc: int,
                z_halo: bool, debug_pairs: bool, min_image: bool,
-               model: str = "dpd", ns: int = 0, mc_chan: int = -1):
+               model: str = "dpd", ns: int = 0, mc_chan: int = -1,
+               need_virial: bool = True):
     """One grid step = one (cy row, z-chunk).
 
     Inputs: scal, iscal, tab, jm, offs (SMEM); mid band block, down band
@@ -357,11 +358,15 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
         dfx = fr * drx
         dfy = fr * dry
         dfz = fr * drz
-        # Newton: pair visited once — full virial on the target side
-        dvir = fmag * rr
         rfx = jnp.sum(dfx, axis=0, keepdims=True)
         rfy = jnp.sum(dfy, axis=0, keepdims=True)
         rfz = jnp.sum(dfz, axis=0, keepdims=True)
+        if not need_virial:
+            # virial-free thermo-off path (r5): drops the dvir math and
+            # one whole output channel; device-bitwise on f
+            return dfx, dfy, dfz, rfx, rfy, rfz
+        # Newton: pair visited once — full virial on the target side
+        dvir = fmag * rr
         return dfx, dfy, dfz, dvir, rfx, rfy, rfz
 
     zero = jnp.zeros((k, l_lane), jnp.float32)
@@ -378,10 +383,15 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
 
     r_iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, l_lane), 0)
 
-    n_tacc = 4 + n_extra            # target accumulators (fx,fy,fz,vir,+)
+    if not need_virial:
+        # only the classic-DPD production path runs virial-free; the
+        # transport models and debug accounting always carry channel 3
+        assert model == "dpd" and not debug_pairs
+    vir_off = 1 if need_virial else 0
+    n_tacc = 3 + vir_off + n_extra  # target accumulators (fx,fy,fz[,vir],+)
     n_react = 3 + n_extra           # reaction channels (no virial react)
-    # out channels the reaction blocks land in (virial channel 3 skipped)
-    react_chans = [0, 1, 2] + [4 + i for i in range(n_extra)]
+    # out channels the reaction blocks land in (virial channel skipped)
+    react_chans = [0, 1, 2] + [3 + vir_off + i for i in range(n_extra)]
 
     def run_rows(rows, off, acc, g0, center=False):
         """All 8 source rows of one rolled group vs the tile.
@@ -465,9 +475,11 @@ def _v3_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
     out_ref[0, 0, 0, 0] = out_ref[0, 0, 0, 0] + accf[0]
     out_ref[1, 0, 0, 0] = out_ref[1, 0, 0, 0] + accf[1]
     out_ref[2, 0, 0, 0] = out_ref[2, 0, 0, 0] + accf[2]
-    out_ref[3, 0, 0, 0] = accf[3]
+    if need_virial:
+        out_ref[3, 0, 0, 0] = accf[3]
     for i in range(n_extra):
-        out_ref[4 + i, 0, 0, 0] = out_ref[4 + i, 0, 0, 0] + accf[4 + i]
+        c = 3 + vir_off + i
+        out_ref[c, 0, 0, 0] = out_ref[c, 0, 0, 0] + accf[c]
 
 
 # Static-path lane-length rule (device toolchain bug, PERF_NOTES r3):
@@ -546,7 +558,8 @@ def _v3_forces(x: Array, v: Array, typ: Array, tag: Array,
                interpret: bool | None, s_exp: float, z_chunks: int,
                dyn_roll: bool, debug_pairs: bool, lane_pad: int,
                w_pad: int, model: str = "dpd", extras=(),
-               scal_tail=(), excl=None, excl_w=None):
+               scal_tail=(), excl=None, excl_w=None,
+               need_virial: bool = True):
     """Shared Newton fused-lane driver for all three pair models.
 
     ``pair_tab`` = (a, gamma, s, rc) (T,T) tables with s = sigma/sqrt(dt)
@@ -757,7 +770,8 @@ def _v3_forces(x: Array, v: Array, typ: Array, tag: Array,
             index_map=lambda cy, cb: (0, cy + dy, cb, 0, 0),
             memory_space=pltpu.VMEM)
 
-    n_out = 4 + n_extra
+    vir_off = 1 if need_virial else 0
+    n_out = 3 + vir_off + n_extra
     in_specs = [
         pl.BlockSpec((1, 12 + len(scal_tail)), lambda cy, cb: (0, 0),
                      memory_space=pltpu.SMEM),
@@ -778,7 +792,8 @@ def _v3_forces(x: Array, v: Array, typ: Array, tag: Array,
                 n_excl=n_excl, ex_chan=ex_chan, s_exp=s_exp, xr=xr,
                 dyn_roll=dyn_roll, nx=nx, nzc=nzc, zc=zc, z_halo=z_halo,
                 debug_pairs=debug_pairs, min_image=min_image,
-                model=model, ns=ns, mc_chan=mc_chan),
+                model=model, ns=ns, mc_chan=mc_chan,
+                need_virial=need_virial),
         grid=(ny, zc),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -812,14 +827,16 @@ def _v3_forces(x: Array, v: Array, typ: Array, tag: Array,
     outp = outp[:, :, :, :k]
     f = jnp.stack([outp[0].reshape(nr), outp[1].reshape(nr),
                    outp[2].reshape(nr)], axis=-1)
-    extra_outs = tuple(outp[4 + i].reshape(nr) for i in range(n_extra))
-    return f, jnp.sum(outp[3]), extra_outs
+    extra_outs = tuple(outp[3 + vir_off + i].reshape(nr)
+                       for i in range(n_extra))
+    vir = jnp.sum(outp[3]) if need_virial else jnp.float32(0.0)
+    return f, vir, extra_outs
 
 
 @partial(jax.jit, static_argnames=("dt", "cfg", "rng_mode", "rng_rounds",
                                    "interpret", "s_exp", "z_chunks",
                                    "dyn_roll", "debug_pairs", "lane_pad",
-                                   "w_pad"))
+                                   "w_pad", "need_virial"))
 def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
                             mask: Array, box: Box, step: Array,
                             params: DPDParams, dt: float, cfg: CellConfig,
@@ -828,11 +845,14 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
                             s_exp: float = 1.0, z_chunks: int = 0,
                             dyn_roll: bool = False,
                             debug_pairs: bool = False, lane_pad: int = 0,
-                            w_pad: int = 0):
+                            w_pad: int = 0, need_virial: bool = True):
     """Classic-DPD forces via the Newton fused-lane kernel.
 
     Interface matches ``bucket_forces_pallas_fused`` (its bit-reference up
     to fp addition order). Returns (f (nr, 3), virial).
+    need_virial=False (the thermo-off production loop) drops the virial
+    math and its whole output channel; the returned virial is 0.0 and f
+    is device-bitwise vs the default path (tools/r5b_gate.py NV_BITWISE).
     """
     dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
     f, vir, _ = _v3_forces(
@@ -840,7 +860,8 @@ def bucket_forces_pallas_v3(x: Array, v: Array, typ: Array, tag: Array,
         (params.a, params.gamma, params.sigma * dt_inv_sqrt, params.rc),
         params.seed, dt, cfg, rng_mode, rng_rounds, interpret, s_exp,
         z_chunks, dyn_roll, debug_pairs, lane_pad, w_pad,
-        excl=params.excl, excl_w=params.excl_w)
+        excl=params.excl, excl_w=params.excl_w,
+        need_virial=need_virial or debug_pairs)
     return f, vir
 
 
