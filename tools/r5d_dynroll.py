@@ -154,6 +154,56 @@ def main():
     except Exception as e:
         print(f"edpd plane ERROR: {type(e).__name__}: {str(e)[:500]}",
               flush=True)
+
+    # lambda=0.65 kT + the tea-tier record on the SHIPPED kernel (the
+    # r5c session ran on the r5-dev ring variant, whose in-loop programs
+    # proved untrustworthy — its impossible 15.4 ms/step "tea record" is
+    # discarded)
+    def kt_record(rng, lam, zc, label):
+        try:
+            sy, pa, st = classic_fluid(
+                l=70.0, rebuild_every=3, skin=0.4, rng_mode=rng,
+                force_path="pallas", pair_kernel="v3", rebuild="sort",
+                z_chunks=zc)
+            sy = sy.replace(lam=lam)
+            st = st.replace(x=state.x, v=state.v, f=state.f, typ=state.typ,
+                            tag=state.tag, mask=state.mask,
+                            image=state.image, step=state.step)
+            # warm both programs outside any timing
+            st, _ = run_bucket_chunked(sy, pa, st, 1, 3, thermo_trace=False)
+            st, _ = run_bucket_chunked(sy, pa, st, 1, 3, thermo_trace=True)
+            jax.block_until_ready(st.x)
+            # equilibrate under this tier/lambda
+            st, _ = run_bucket_chunked(sy, pa, st, 100, 3,
+                                       thermo_trace=False)
+            jax.block_until_ready(st.x)
+            t0 = time.time()
+            st, dg = run_bucket_chunked(sy, pa, st, 67, 3,
+                                        thermo_trace=False)
+            jax.block_until_ready(st.x)
+            ms = (time.time() - t0) / 201 * 1e3
+            st, dg2 = run_bucket_chunked(sy, pa, st, 67, 3,
+                                         thermo_trace=True)
+            jax.block_until_ready(st.x)
+            kts = np.asarray(dg2["kt_trace"])
+            dk = kts - kts.mean()
+            acf1 = float((dk[:-1] * dk[1:]).mean() / max(dk.var(), 1e-30))
+            tau = (1 + acf1) / max(1 - acf1, 1e-3)
+            n_eff = max(kts.size / (2 * tau), 1.0)
+            sem = float(kts.std(ddof=1) / np.sqrt(n_eff))
+            of2 = float(np.asarray(dg["bucket_overflow"]))
+            sr2 = float(np.asarray(dg["worst_skin_ratio"]))
+            print(f"KT_RECORD {label}: {ms:.1f} ms/step "
+                  f"({n/ms*1e3:.3e} ps/s) kT={kts.mean():.4f}+-{sem:.4f} "
+                  f"(3sig={3*sem:.4f}, tau={tau:.1f}) "
+                  f"|kT-1|={abs(kts.mean()-1):.4f} of={of2:.0f} "
+                  f"sr={sr2:.3f}", flush=True)
+        except Exception as e:
+            print(f"KT_RECORD {label} ERROR: {type(e).__name__}: "
+                  f"{str(e)[:500]}", flush=True)
+
+    kt_record("fast", 0.65, 5, "plane-fast-lam065")
+    kt_record("tea", 0.65, 10, "plane-tea-lam065")
     print("R5D_DONE", flush=True)
 
 
