@@ -155,19 +155,28 @@ def spill_assign(base: Array, cxs: Array, valid_s: Array, n_in: int,
     # and never perturb a valid one)
     r_loc = iota - _seg_starts(base)
     a_t = jnp.maximum(cxs * k - r_loc, 0)        # in [0, (nx-1)*K]
-    am = jax.lax.cummax(base * (nx * k) + a_t) - base * (nx * k)
+    if wrap:
+        # The spill cummax and the cell-0 used-count cummax are
+        # independent given r_loc — batch them into ONE (n, 2) cummax
+        # pass (each plain cummax costs ~5 ms at 2M rows on device;
+        # XLA runs the batched pass at the single-column price).
+        # c0: only cx=0 particles sit in cell 0's block (l_lin >= cx*K),
+        # and for them l_lin = rank-in-cell, so the count is
+        # min(count(cell R*nx), K). All cell-0 rows of a segment precede
+        # any cx=nx-1 row, so the prefix count equals the full count
+        # everywhere wrap_ok reads it.
+        c0 = jnp.where((cxs == 0) & valid_s,
+                       jnp.minimum(r_loc + 1, k), 0)
+        both = jax.lax.cummax(jnp.stack(
+            [base * (nx * k) + a_t, base * (k + 1) + c0], axis=1), axis=0)
+        am = both[:, 0] - base * (nx * k)
+        c0_used = both[:, 1] - base * (k + 1)
+    else:
+        am = jax.lax.cummax(base * (nx * k) + a_t) - base * (nx * k)
     l_lin = r_loc + am
     in_row = valid_s & (l_lin < jnp.minimum((cxs + 2) * k, nx * k))
     if wrap:
         m = l_lin - nx * k
-        # cell 0's used-slot count: only cx=0 particles can sit in cell
-        # 0's block (l_lin >= cx*K), and for them l_lin = rank-in-cell,
-        # so the count is min(count(cell R*nx), K). All cell-0 rows of a
-        # segment precede any cx=nx-1 row, so the prefix count equals the
-        # full count everywhere wrap_ok reads it.
-        c0 = jnp.where((cxs == 0) & valid_s,
-                       jnp.minimum(r_loc + 1, k), 0)
-        c0_used = jax.lax.cummax(base * (k + 1) + c0) - base * (k + 1)
         wrap_ok = (valid_s & ~in_row & (cxs == nx - 1) & (m >= 0)
                    & (m < k) & (k - 1 - m >= c0_used))
     else:
