@@ -85,13 +85,10 @@ class System:
     #                               "v3_dynroll" (v3 with traced-offset
     #                               rolls; device support probed by
     #                               tools/toy_dynroll.py)
-    bf16_v: bool = False          # bf16 velocity channels in the fused
-    #                               kernel (row 31). Device gate PASSES at
-    #                               3.19e-4 rel (value resolution) since
-    #                               the r3 value-carried port (v2_gate
-    #                               "v2-bf16v-nx8"); off by default until
-    #                               a measured perf win justifies it
-    #                               (VERDICT r4 item 3)
+    # (bf16_v REMOVED in r5: the device experiment measured ZERO win —
+    # 179.4 vs 179.2 ms/step at 1M, tools/r5a_bf16.py logs — because the
+    # kernel pipeline overlaps band DMA with compute; SURVEY row 31 is
+    # closed as "fp32 storage, measured" in PERF_NOTES r5.)
     wrap_mode: str = "step"       # "step": box-wrap positions every step
     #                               (reference semantics). "rebuild": defer
     #                               wrapping to rebuild time — positions
@@ -271,8 +268,7 @@ def compute_forces(system: System, params: SystemParams, state: State,
             x, v, state.typ, state.tag, state.mask, state.box, step,
             params.pair, system.dt, system.cells,
             rng_mode=system.rng_mode, rng_rounds=system.rng_rounds,
-            s_exp=system.s_exp, z_chunks=system.z_chunks,
-            bf16_v=system.bf16_v)
+            s_exp=system.s_exp, z_chunks=system.z_chunks)
         return f, {"virial": virial}
     if system.force_path in ("bucket", "pallas_banded"):
         if system.force_path == "bucket":

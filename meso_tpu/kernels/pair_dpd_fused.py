@@ -63,21 +63,13 @@ def _roll_lane(p: Array, off: int) -> Array:
 def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
                   rng_rounds: int, n_chan: int, n_types: int, typ_chan: int,
                   n_excl: int, ex_chan: int, s_exp: float,
-                  xr: int = 1, bf16_v: bool = False, model: str = "dpd",
+                  xr: int = 1, model: str = "dpd",
                   ns: int = 0, mc_chan: int = -1, n_out: int = 4):
-    """One grid step = one (cy row, z-chunk): out (C, 1, 1, K, L).
-
-    bf16_v: velocity channels arrive as a separate bfloat16 stack (row 31
-    mixed precision — halves their HBM/VMEM traffic; positions and
-    accumulation stay fp32)."""
+    """One grid step = one (cy row, z-chunk): out (C, 1, 1, K, L)."""
     scal_ref, iscal_ref, tab_ref, jmax_ref = refs[0], refs[1], refs[2], \
         refs[3]
     b0, b1, b2 = refs[4], refs[5], refs[6]
-    if bf16_v:
-        bv = refs[7:10]
-        out_ref, bands_s, bands_sv = refs[10], refs[11], refs[12]
-    else:
-        out_ref, bands_s = refs[7], refs[8]
+    out_ref, bands_s = refs[7], refs[8]
     a = scal_ref[0, 0]
     gamma = scal_ref[0, 1]
     sigma_dt = scal_ref[0, 2]     # sigma / sqrt(dt), pre-folded
@@ -104,14 +96,8 @@ def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
     bands_s[0] = b0[:, 0, 0]
     bands_s[1] = b1[:, 0, 0]
     bands_s[2] = b2[:, 0, 0]
-    if bf16_v:
-        # cast at staging: Mosaic cannot dynamically sublane-slice bf16
-        # refs (index must be a multiple of the bf16 sublane tile); HBM ->
-        # VMEM band traffic stays bf16, the scratch is f32
-        for i in range(3):
-            bands_sv[i] = bv[i][:, 0, 0].astype(jnp.float32)
-    tagv_idx = 3 if bf16_v else _TAGV
-    val_idx = 4 if bf16_v else _VALID
+    tagv_idx = _TAGV
+    val_idx = _VALID
 
     def hash_of(tag_f):
         """Per-particle TEA hash from a tag-value block — bit-identical to
@@ -136,8 +122,6 @@ def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
         return bands_s[1, c]
 
     def selfv(i):  # velocity component i, (k, L) f32
-        if bf16_v:
-            return bands_sv[1, i]
         return bands_s[1, _VX + i]
 
     # fast-tier per-particle hash of the self tile, hoisted out of the
@@ -153,13 +137,10 @@ def _fused_kernel(*refs, k: int, w_lane: int, l_lane: int, rng_mode: str,
         o = r - dy * n_off
 
         rows = tuple(bands_s[dy, c, pl.ds(j, 1), :] for c in range(n_chan))
-        if bf16_v:
-            rows = rows + tuple(
-                bands_sv[dy, i, pl.ds(j, 1), :] for i in range(3))
         rows = jax.lax.switch(o, branches, rows)
 
         def rowv(i):  # velocity component i, (1, L) f32
-            return rows[n_chan + i] if bf16_v else rows[_VX + i]
+            return rows[_VX + i]
 
         if n_types > 1:
             # tab rows: dpd/tdpd (a, gamma, sigma*dtinv, rc);
@@ -316,15 +297,13 @@ def _auto_z_chunks(n_chan: int, k: int, nz: int, w_lane: int,
 
 
 @partial(jax.jit, static_argnames=("dt", "cfg", "rng_mode", "rng_rounds",
-                                   "interpret", "s_exp", "z_chunks",
-                                   "bf16_v"))
+                                   "interpret", "s_exp", "z_chunks"))
 def bucket_forces_pallas_fused(x: Array, v: Array, typ: Array, tag: Array,
                                mask: Array, box: Box, step: Array,
                                params: DPDParams, dt: float, cfg: CellConfig,
                                rng_mode: str = "fast", rng_rounds: int = 8,
                                interpret: bool | None = None,
-                               s_exp: float = 1.0, z_chunks: int = 0,
-                               bf16_v: bool = False):
+                               s_exp: float = 1.0, z_chunks: int = 0):
     """Forces for bucket-resident rows via the fused-lane kernel.
 
     Interface matches ``ops.bucket_dpd.bucket_forces_xla`` (its
@@ -355,10 +334,8 @@ def bucket_forces_pallas_fused(x: Array, v: Array, typ: Array, tag: Array,
     tag_f = tag.astype(jnp.float32)
     chans = [
         x[:, 0].reshape(shape), x[:, 1].reshape(shape), x[:, 2].reshape(shape),
+        v[:, 0].reshape(shape), v[:, 1].reshape(shape), v[:, 2].reshape(shape),
     ]
-    if not bf16_v:
-        chans += [v[:, 0].reshape(shape), v[:, 1].reshape(shape),
-                  v[:, 2].reshape(shape)]
     chans += [
         tag_f.reshape(shape),
         mask.astype(jnp.float32).reshape(shape),
@@ -379,7 +356,7 @@ def bucket_forces_pallas_fused(x: Array, v: Array, typ: Array, tag: Array,
 
     zc = z_chunks
     if zc <= 0:
-        zc = _auto_z_chunks(n_chan + (2 if bf16_v else 0), k, nz, w_lane)
+        zc = _auto_z_chunks(n_chan, k, nz, w_lane)
     if nz % zc:
         raise ValueError(f"z_chunks={zc} must divide ncz={nz}")
     nzc = nz // zc
@@ -404,9 +381,6 @@ def bucket_forces_pallas_fused(x: Array, v: Array, typ: Array, tag: Array,
     body_z = (nzc + 2) if zc > 1 else nz
     l_lane = body_z * w_lane
     view = prep(jnp.stack(chans))
-    if bf16_v:
-        vview = prep(jnp.stack(
-            [v[:, i].astype(jnp.bfloat16).reshape(shape) for i in range(3)]))
 
     dt_inv_sqrt = jnp.float32(1.0 / jnp.sqrt(dt))
     lens = box.lengths
@@ -420,7 +394,7 @@ def bucket_forces_pallas_fused(x: Array, v: Array, typ: Array, tag: Array,
     iscal = jnp.stack([jnp.asarray(step, jnp.int32),
                        params.seed.astype(jnp.int32)]).reshape(1, 2)
     # per-cy-band max occupied slot (+1): the kernel's dynamic j bound
-    vmask = chans[4 if bf16_v else 7]            # the valid plane
+    vmask = chans[7]                             # the valid plane
     occ = jnp.max(jnp.where(
         vmask > 0.5,
         jnp.arange(1, k + 1, dtype=jnp.int32)[None, None, :, None], 0),
@@ -441,12 +415,6 @@ def bucket_forces_pallas_fused(x: Array, v: Array, typ: Array, tag: Array,
             index_map=lambda cy, cb: (0, cy + dy, cb, 0, 0),
             memory_space=pltpu.VMEM)
 
-    def vband_spec(dy):
-        return pl.BlockSpec(
-            (3, 1, 1, k, l_lane),
-            index_map=lambda cy, cb: (0, cy + dy, cb, 0, 0),
-            memory_space=pltpu.VMEM)
-
     in_specs = [
         pl.BlockSpec((1, 12), lambda cy, cb: (0, 0),
                      memory_space=pltpu.SMEM),
@@ -459,17 +427,12 @@ def bucket_forces_pallas_fused(x: Array, v: Array, typ: Array, tag: Array,
     ]
     inputs = [scal, iscal, tab, jmax, view, view, view]
     scratches = [pltpu.VMEM((3, n_chan, k, l_lane), jnp.float32)]
-    if bf16_v:
-        in_specs += [vband_spec(0), vband_spec(1), vband_spec(2)]
-        inputs += [vview, vview, vview]
-        scratches.append(pltpu.VMEM((3, 3, k, l_lane), jnp.float32))
 
     out = pl.pallas_call(
         partial(_fused_kernel, k=k, w_lane=w_lane, l_lane=l_lane,
                 rng_mode=rng_mode, rng_rounds=rng_rounds, n_chan=n_chan,
                 n_types=n_types, typ_chan=typ_chan,
-                n_excl=n_excl, ex_chan=ex_chan, s_exp=s_exp, xr=xr,
-                bf16_v=bf16_v),
+                n_excl=n_excl, ex_chan=ex_chan, s_exp=s_exp, xr=xr),
         grid=(ny, zc),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(

@@ -212,26 +212,6 @@ def test_spill_wrap_last_cell_parity():
                   np.asarray(f_d)[m]).max() / scale < 1e-5
 
 
-def test_fused_bf16_v_channels():
-    """bf16 velocity storage (row 31 mixed precision, flagged): forces match
-    the fp32 path to the expected bf16 rounding scale and padding rows stay
-    inert."""
-    box, st, cfg, params = _sys(n=1536, l=8.0)
-    bst = to_bucket_state(st, cfg)
-    step = jnp.int32(21)
-    f32, vir32 = bucket_forces_pallas_fused(
-        bst.x, bst.v, bst.typ, bst.tag, bst.mask, box, step, params, 0.01,
-        cfg, rng_mode="fast", interpret=True)
-    f16, vir16 = bucket_forces_pallas_fused(
-        bst.x, bst.v, bst.typ, bst.tag, bst.mask, box, step, params, 0.01,
-        cfg, rng_mode="fast", interpret=True, bf16_v=True)
-    m = np.asarray(bst.mask)
-    scale = np.abs(np.asarray(f32)).max()
-    err = np.abs(np.asarray(f16)[m] - np.asarray(f32)[m]).max() / scale
-    assert err < 3e-3          # bf16 enters only via the dissipative term
-    assert err > 0.0           # and the flag actually switches the path
-    assert np.abs(np.asarray(f16)[~m]).max() == 0.0
-
 
 def test_spill_production_loop_matches_bucket():
     """20 steps of the fused spill path (run_bucket_chunked) == 20 steps of

@@ -34,9 +34,6 @@ def main():
         pair_kernel=os.environ.get("MESO_BENCH_KERNEL", "v2"),
         rebuild=os.environ.get("MESO_BENCH_REBUILD_ENGINE", "gather"),
         z_chunks=int(os.environ.get("MESO_BENCH_ZCHUNKS", "0")))
-    if os.environ.get("MESO_BENCH_BF16") == "1":
-        system = system.replace(bf16_v=True)
-        print("bf16_v on", flush=True)
     n_real = int(state.n_valid())
     print(f"setup {time.time()-t0:.1f}s rows={state.n} real={n_real} "
           f"cfg={system.cells}", flush=True)

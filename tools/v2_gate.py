@@ -2,13 +2,13 @@
 
 The r3 root cause (PERF_NOTES.md) established that every routed v2-family
 "miscompile" — strict small-shape (rel 0.6), spill+tea (rel ~1.2), and the
-bf16_v band refs (rel 0.67) — came from integer bit patterns bitcast into
+bf16_v band refs (rel 0.67, machinery removed r5) — came from integer bit patterns bitcast into
 the f32 channel stack. The port carries tags/exclusions as exact f32
 VALUES and hashes both RNG tiers in-kernel. This gate re-runs the exact
 r2 trigger classes on the compiled kernels:
 
   classic fused: strict nx=6 (r2 fail shape), spill nx=8, spill+tea,
-                 exclusions, bf16_v
+                 exclusions
   eDPD fused:    spill nx=8 fast + tea, multi-type
   tDPD fused:    spill nx=8 fast (2 species)
 
@@ -63,7 +63,7 @@ def _report(label, cfg, rng, f_p, vir_p, f_d, vir_d, mask, tol=5e-5):
 
 
 def classic(lens, skin=0.3, spill=True, cap=None, rng="fast", excl=False,
-            bf16=False, tol=5e-5, label=""):
+            tol=5e-5, label=""):
     box, bst, cfg = _setup(lens, skin, spill, cap)
     params = BASE
     if excl:
@@ -77,7 +77,7 @@ def classic(lens, skin=0.3, spill=True, cap=None, rng="fast", excl=False,
     try:
         f_p, vir_p = bucket_forces_pallas_fused(
             bst.x, bst.v, bst.typ, bst.tag, bst.mask, box, step, params,
-            0.01, cfg, rng_mode=rng, interpret=False, bf16_v=bf16)
+            0.01, cfg, rng_mode=rng, interpret=False)
         jax.block_until_ready(f_p)
     except Exception as e:
         print(f"ERROR {label}: {type(e).__name__}: {str(e)[:300]}",
@@ -157,10 +157,8 @@ if __name__ == "__main__":
     oks.append(classic([10.7, 8.0, 8.0], rng="tea",
                        label="v2-spill-tea-nx8"))        # r2 fail class
     oks.append(classic([10.7, 8.0, 8.0], excl=True, label="v2-excl-nx8"))
-    # bf16_v: interpret-exact at ~3e-4 (value resolution); r2 device ran
-    # rel 0.67 — if the bitcast hash was the cause, this now lands ~3e-4
-    oks.append(classic([10.7, 8.0, 8.0], bf16=True, tol=3e-3,
-                       label="v2-bf16v-nx8"))
+    # (the bf16_v probe is gone with the flag — r5 measured zero win and
+    # the machinery was deleted; PERF_NOTES r5)
     oks.append(edpd([10.7, 8.0, 8.0], label="edpd-spill-nx8"))
     oks.append(edpd([10.7, 8.0, 8.0], rng="tea", label="edpd-tea-nx8"))
     oks.append(tdpd([10.7, 8.0, 8.0], label="tdpd-spill-nx8"))
