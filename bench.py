@@ -201,19 +201,22 @@ def main():
         return
     l = os.environ.get("MESO_BENCH_L", "70")
     if _wait_for_device():
-        # rung 1: the v3 Newton kernel production config (device-gated by
-        # tools/v3_gate3.py + tools/v3_1m_probe.py); explicit z-chunks —
-        # auto-zc picks a lane vector the toolchain fails to compile at
-        # L=70. wrap=rebuild (deferred box wrap, min-image-free kernel):
-        # r5-validated at 1M (of=0, subset oracle 9.3e-7, 60.9 vs 67.5
-        # ms/step — tools/r5a_wrap.py). rung 2: the r2-proven v2 config
-        # as the device fallback.
-        v3_cfg = {"MESO_BENCH_L": l, "MESO_BENCH_KERNEL": "v3",
-                  "MESO_BENCH_ZCHUNKS": 5,
+        # rung 1: the r5 production winner (tools/r5e_matrix.py CELL
+        # dynroll-zc2-rebuild-vir = 51.4 ms/step = 2.00e7 ps/s at 1M):
+        # v3 kernel with dynamic-shift rolls at z_chunks=2 (the fori
+        # offset body compiles at l_lane 1536 where the static unroll
+        # cannot; z-halo target waste 1.2x -> 1.08x), deferred box wrap
+        # (min-image-free kernel, of=0 + subset oracle 2.2e-6 at 1M).
+        # rung 2: the static-zc5 config (r4-proven). rung 3: v2.
+        v3_cfg = {"MESO_BENCH_L": l, "MESO_BENCH_KERNEL": "v3_dynroll",
+                  "MESO_BENCH_ZCHUNKS": 2,
                   "MESO_BENCH_WRAP": "rebuild",
                   "MESO_BENCH_REBUILD_ENGINE": "sort"}
         ladder = [
             (v3_cfg, 3000),
+            ({"MESO_BENCH_L": l, "MESO_BENCH_KERNEL": "v3",
+              "MESO_BENCH_ZCHUNKS": 5,
+              "MESO_BENCH_REBUILD_ENGINE": "sort"}, 2400),
             ({"MESO_BENCH_L": l, "MESO_BENCH_KERNEL": "v2"}, 2400),
             ({"MESO_BENCH_L": 32}, 1200),
         ]

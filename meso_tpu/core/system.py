@@ -339,11 +339,17 @@ def make_step(system: System, with_aux: bool = False):
 
         # --- force evaluation at (x', v~), RNG counter = new step ---
         # thermo-off steps (with_aux=False) skip the virial channel in
-        # the v3 kernel (the value would be discarded)
+        # the v3 kernel (the value would be discarded) — EXCEPT under
+        # wrap_mode="rebuild": the 3-channel kernel output inside that
+        # chunk loop regresses ~27 ms/step at 1M on this backend (61->88
+        # measured, every kernel variant, while the same program is
+        # FASTER standalone and under wrap=step — tools/r5e_matrix.py;
+        # in-loop-vs-standalone divergence hazard class, PERF_NOTES r5)
+        nv = with_aux or system.wrap_mode == "rebuild"
         f_new, aux = compute_forces(system, params, state, x1, v_tilde,
                                     new_step, nlist_idx,
                                     t=state.T, c=state.C,
-                                    need_virial=with_aux)
+                                    need_virial=nv)
 
         # --- bonded terms + post_force fixes ---
         f_new = _post_forces(system, params, state, x1, v_tilde, f_new,
