@@ -2,6 +2,8 @@
 bitwise against the default path — it drops the virial math and output
 channel, nothing else (r5 kernel rework)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -10,6 +12,7 @@ from meso_tpu.models.classic import classic_fluid
 
 
 def test_need_virial_false_is_force_bitwise():
+    os.environ["MESO_PALLAS_INTERPRET"] = "1"   # setup() compiles pallas
     system, params, state = classic_fluid(
         l=8.0, force_path="pallas", rng_mode="fast", skin=0.4)
     cfg = system.cells
