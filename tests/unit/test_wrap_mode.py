@@ -44,19 +44,21 @@ def _drifted_bucket_state(l, n, skin, spill, cap=None, seed=3):
     return bst, cfg, box
 
 
-@pytest.mark.parametrize("spill,rng,zc,cap", [
-    (True, "fast", 0, None),
-    (False, "fast", 0, None),
-    (True, "tea", 0, None),
-    (True, "fast", 2, None),
-    (False, "fast", 0, 20),     # odd K: kp-pad slots must stay inert
+@pytest.mark.parametrize("spill,rng,zc,cap,dyn", [
+    (True, "fast", 0, None, False),
+    (False, "fast", 0, None, False),
+    (True, "tea", 0, None, False),
+    (True, "fast", 2, None, False),
+    (False, "fast", 0, 20, False),  # odd K: kp-pad slots must stay inert
+    (True, "fast", 2, None, True),  # the r5 PRODUCTION combo:
+    #                                 dynroll + deferred wrap + z-chunks
 ])
-def test_v3_no_min_image_parity(spill, rng, zc, cap):
+def test_v3_no_min_image_parity(spill, rng, zc, cap, dyn):
     bst, cfg, box = _drifted_bucket_state(8.0, 1536, 0.3, spill, cap)
     step = jnp.int32(42)
     f_p, vir_p = bucket_forces_pallas_v3(
         bst.x, bst.v, bst.typ, bst.tag, bst.mask, box, step, PARAMS, 0.01,
-        cfg, rng_mode=rng, interpret=True, z_chunks=zc)
+        cfg, rng_mode=rng, interpret=True, z_chunks=zc, dyn_roll=dyn)
     f_d, vir_d, _ = dense_forces(bst.x, bst.v, bst.typ, bst.tag, bst.mask,
                                  box, step, PARAMS, 0.01, rng_mode=rng)
     m = np.asarray(bst.mask)
