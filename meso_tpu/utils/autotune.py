@@ -61,6 +61,14 @@ def autotune_fluid(make_system, params, state0, candidates=None,
                                rebuild="sort"),
                           dict(spill=True, pair_kernel="v3",
                                rebuild="sort", wrap_mode="rebuild"),
+                          # r5 production winner at 1M (51.4 ms/step):
+                          # traced-offset rolls compile at zc=2 where the
+                          # static unroll cannot; box-size dependent (at
+                          # 98k the lane pad costs 30% — PERF_NOTES r5
+                          # session F), hence swept, not hardcoded.
+                          dict(spill=True, pair_kernel="v3_dynroll",
+                               z_chunks=2, rebuild="sort",
+                               wrap_mode="rebuild"),
                           dict(spill=True, rebuild="sort"),
                           dict(spill=True, capacity=24)):
                 extra.append({**c, **knobs})

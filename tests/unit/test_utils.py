@@ -187,3 +187,37 @@ def test_msd_diffusion_on_short_run():
     d = float(diffusion_coefficient(m, 150 * system.dt))
     assert m > 0.05
     assert 0.0 < d < 10.0
+
+
+def test_autotune_sweeps_dynroll_winner(monkeypatch):
+    """The r5 production winner (v3_dynroll + zc=2 + wrap=rebuild + sort,
+    PERF_NOTES round-5 ladder) must be in the tune_kernel sweep and
+    runnable end-to-end (SURVEY 2b row 29: launch-config autotuning)."""
+    monkeypatch.setenv("MESO_PALLAS_INTERPRET", "1")
+    from meso_tpu.models.classic import classic_fluid
+    from meso_tpu.utils.autotune import autotune_fluid
+
+    # l=9 -> ncz=6 at skin 0.4: z_chunks=2 must divide ncz (the sweep
+    # silently skips the candidate on boxes where it doesn't)
+    _, params, state0 = classic_fluid(l=9.0, force_path="bucket",
+                                      rng_mode="fast")
+
+    def make_system(skin, every, **kw):
+        # run only the cheap bucket base and the dynroll winner — the
+        # full sweep is a device tool, too slow for CPU interpret mode
+        if kw and kw.get("pair_kernel") != "v3_dynroll":
+            raise ValueError("skip on CPU")
+        system, _, _ = classic_fluid(
+            l=9.0, skin=skin, rebuild_every=every, rng_mode="fast",
+            force_path="pallas" if kw else "bucket", **kw)
+        return system
+
+    best, results = autotune_fluid(make_system, params, state0,
+                                   candidates=[dict(skin=0.4, every=3)],
+                                   steps=3, verbose=False, tune_kernel=True)
+    dyn = [r for r in results if r.pair_kernel == "v3_dynroll"]
+    assert len(dyn) == 1, "dynroll winner missing from the sweep"
+    assert dyn[0].z_chunks == 2
+    assert dyn[0].wrap_mode == "rebuild"
+    assert dyn[0].rebuild == "sort"
+    assert best.ms_per_step > 0
